@@ -1,0 +1,165 @@
+"""Command-line interface.
+
+The reference has no CLI: runs are selected by un-commenting import lines
+(/root/reference/train_unconditional.py:10-35) or editing config-name lists
+and ``exec``-importing them (run_experiments.py:97-102). Here:
+
+    python -m hint_tpu list [prefix]
+    python -m hint_tpu train    --config plus_shape.unconditional_hint_4_full
+    python -m hint_tpu evaluate --config ... --ckpt results/run.npz
+    python -m hint_tpu sample   --config ... --ckpt ... --n 1000 --out s.npy
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--config", required=True, help="registry name, e.g. plus_shape.unconditional_hint_4_full")
+    p.add_argument("--uci-root", default=".", help="directory containing uci_data/")
+    p.add_argument("--cache-dir", default="data", help="toy-data npy cache directory")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
+                   help="matmul compute dtype (params stay float32)")
+
+
+def cmd_list(args):
+    from hint_tpu.configs import list_configs
+
+    for name in list_configs(args.prefix):
+        print(name)
+
+
+def cmd_train(args):
+    import jax
+    import jax.numpy as jnp
+
+    from hint_tpu.configs import get_config
+    from hint_tpu.monitor import ConsoleMonitor
+    from hint_tpu.train import checkpoint
+
+    cfg = get_config(args.config)
+    if args.epochs:
+        cfg = type(cfg)(**{**cfg.__dict__, "n_epochs": args.epochs})
+    print(f"config: {cfg.name} (suffix {cfg.suffix})")
+    (x_tr, y_tr), (x_te, y_te) = cfg.load_data(args.cache_dir, args.uci_root)
+    trainer = cfg.make_trainer(compute_dtype=args.dtype)
+    monitor = ConsoleMonitor()
+    state_probe = trainer.init_state(jax.random.PRNGKey(args.seed))
+    print(f"\nModel {cfg.suffix} has {trainer.n_trainable_params(state_probe):,} trainable parameters.\n")
+
+    ckpt_fn = None
+    if args.save:
+        def ckpt_fn(state, epoch):
+            if (epoch + 1) % args.save_every == 0 or epoch + 1 == cfg.n_epochs:
+                checkpoint.save_npz(args.save, state)
+
+    state, final = trainer.fit(
+        jax.random.PRNGKey(args.seed),
+        (jnp.asarray(x_tr), jnp.asarray(y_tr) if cfg.is_conditional else None),
+        (jnp.asarray(x_te), jnp.asarray(y_te) if cfg.is_conditional else None),
+        monitor=monitor,
+        full_batch_test=cfg.is_uci,
+        checkpoint_fn=ckpt_fn,
+    )
+    print(f"final test loss: {final:.6f}")
+    if cfg.is_uci:
+        d = cfg.ndim_x
+        ll = -final - (d / 2) * np.log(2 * np.pi)  # run_uci_experiments.py:71-72
+        print(f"test log-likelihood: {ll:.3f} nats")
+    if args.save:
+        checkpoint.save_npz(args.save, state)
+        print(f"saved checkpoint to {args.save}")
+    return final
+
+
+def cmd_evaluate(args):
+    import jax
+    import jax.numpy as jnp
+
+    from hint_tpu.configs import get_config
+    from hint_tpu.train import checkpoint
+
+    cfg = get_config(args.config)
+    (_, _), (x_te, y_te) = cfg.load_data(args.cache_dir, args.uci_root)
+    trainer = cfg.make_trainer(compute_dtype=args.dtype)
+    template = trainer.init_state(jax.random.PRNGKey(args.seed))
+    state = checkpoint.load_npz(args.ckpt, template)
+    losses = trainer.eval_epoch(
+        state.params,
+        jnp.asarray(x_te),
+        jnp.asarray(y_te) if cfg.is_conditional else None,
+        jax.random.PRNGKey(args.seed + 1),
+        full_batch=cfg.is_uci,
+    )
+    total = float(losses.sum())
+    print(f"test loss: {total:.6f}  terms: {losses}")
+    print(f"per-dim likelihood: {-total / cfg.ndim_x:.4f}")  # run_experiments.py:210
+    if cfg.is_uci:
+        print(f"log-likelihood: {-total - (cfg.ndim_x / 2) * np.log(2 * np.pi):.3f} nats")
+    return total
+
+
+def cmd_sample(args):
+    import jax
+    import jax.numpy as jnp
+
+    from hint_tpu.configs import get_config
+    from hint_tpu.evaluation.sampling import sample_model
+    from hint_tpu.train import checkpoint
+
+    cfg = get_config(args.config)
+    trainer = cfg.make_trainer(compute_dtype=args.dtype)
+    template = trainer.init_state(jax.random.PRNGKey(args.seed))
+    state = checkpoint.load_npz(args.ckpt, template)
+    y_target = None
+    if cfg.is_conditional:
+        y_target = args.y_target or cfg.vis_y_target
+        if y_target is None:
+            sys.exit("conditional config: pass --y-target")
+    x = sample_model(
+        cfg, trainer.model, state.params, args.n, jax.random.PRNGKey(args.seed + 2), y_target
+    )
+    np.save(args.out, np.asarray(x))
+    print(f"saved {args.n} samples to {args.out}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="hint_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("list", help="list registered configs")
+    p.add_argument("prefix", nargs="?", default="")
+    p.set_defaults(fn=cmd_list)
+
+    p = sub.add_parser("train", help="train a config")
+    _add_common(p)
+    p.add_argument("--epochs", type=int, default=0, help="override n_epochs")
+    p.add_argument("--save", default="", help="checkpoint path (.npz)")
+    p.add_argument("--save-every", type=int, default=10)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("evaluate", help="evaluate a checkpoint")
+    _add_common(p)
+    p.add_argument("--ckpt", required=True)
+    p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("sample", help="draw samples from a checkpoint")
+    _add_common(p)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--n", type=int, default=1000)
+    p.add_argument("--y-target", type=float, nargs="*", default=None)
+    p.add_argument("--out", default="samples.npy")
+    p.set_defaults(fn=cmd_sample)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

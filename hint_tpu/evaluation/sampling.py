@@ -1,0 +1,66 @@
+"""Model sampling — the ``model_inverse`` semantics of each config family.
+
+Reference definitions (per-config closures over the global model):
+* unconditional: ``model(z, rev=True)``
+  (configs/plus_shape/unconditional_hint_4_full.py:79-80);
+* cINN / recursive cINN: ``model([z], c=[y], rev=True)``
+  (configs/plus_shape/conditional_cinn_4.py:80-82);
+* two-lane conditional HINT: push (y, random x) forward for ``z_y``, then
+  invert ``[z_y, z*]`` (configs/plus_shape/conditional_hint_8_full.py:99-102);
+  plus ``sample_joint`` and ``sample_conditional`` (…:104-113).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from hint_tpu.models.flow import Flow, TwoLaneFlow
+
+
+def sample_model(cfg, model, params, n: int, key: jax.Array, y_target=None) -> jax.Array:
+    """Draw n samples of x from the trained model (x-space)."""
+    k_z, k_x = jax.random.split(key)
+    if isinstance(model, TwoLaneFlow):
+        y = jnp.broadcast_to(jnp.asarray(y_target, jnp.float32)[None, :], (n, model.dim_y))
+        return sample_conditional_hint(model, params, y, k_z, k_x)
+    z = jax.random.normal(k_z, (n, model.dim))
+    if cfg.is_conditional:
+        y = jnp.broadcast_to(jnp.asarray(y_target, jnp.float32)[None, :], (n, len(y_target)))
+        x, _ = model.inverse(params, z, y)
+    else:
+        x, _ = model.inverse(params, z)
+    return x
+
+
+def sample_conditional_hint(
+    model: TwoLaneFlow, params, y: jax.Array, key_z: jax.Array, key_x: jax.Array
+) -> jax.Array:
+    """model_inverse (conditional_hint_8_full.py:99-102)."""
+    x_rand = jax.random.normal(key_x, (y.shape[0], model.dim_x))
+    z_y, _, _, _ = model.forward(params, y, x_rand)
+    test_z = jax.random.normal(key_z, (y.shape[0], model.dim_x))
+    _, x, _, _ = model.inverse(params, z_y, test_z)
+    return x
+
+
+def sample_joint_hint(model: TwoLaneFlow, params, n: int, key: jax.Array):
+    """sample_joint (conditional_hint_8_full.py:104-106)."""
+    k_y, k_x = jax.random.split(key)
+    z_y = jax.random.normal(k_y, (n, model.dim_y))
+    z_x = jax.random.normal(k_x, (n, model.dim_x))
+    y, x, _, _ = model.inverse(params, z_y, z_x)
+    return y, x
+
+
+def sample_conditional(
+    model: TwoLaneFlow, params, y: jax.Array, key: jax.Array, z_x: Optional[jax.Array] = None
+):
+    """sample_conditional (conditional_hint_8_full.py:108-113)."""
+    if z_x is None:
+        z_x = jax.random.normal(key, (y.shape[0], model.dim_x))
+    z_y, _, _, _ = model.forward(params, y, z_x)
+    _, x, _, _ = model.inverse(params, z_y, z_x)
+    return x

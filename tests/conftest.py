@@ -1,0 +1,18 @@
+"""Test harness config: force CPU with 8 virtual devices (for sharding tests).
+
+The session environment registers the 'axon' TPU PJRT plugin via
+sitecustomize and *overrides* JAX_PLATFORMS with jax.config.update, so the
+env var alone is not enough — we must update the config again before any
+backend initializes. XLA_FLAGS must also be set before first backend use.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,161 @@
+"""Trainer tests: torch-parity optimizer, LR schedule, loss decrease,
+checkpoint round-trip, conditional training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hint_tpu.models import builders
+from hint_tpu.train import checkpoint
+from hint_tpu.train.optim import (
+    ADAM_EPS,
+    GRAD_CLAMP,
+    apply_updates,
+    init_trainables,
+    lr_schedule,
+    make_optimizer,
+)
+from hint_tpu.train.trainer import CONDITIONAL_CINN, CONDITIONAL_HINT, UNCONDITIONAL, Trainer
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_lr_schedule():
+    # warmup epochs at lr_init * 3e-2; then lr_init * final_decay^(e/n)
+    lr0 = float(lr_schedule(0, 0.01, 3, 0.01, 50))
+    assert lr0 == pytest.approx(0.01 * 3e-2)
+    lr3 = float(lr_schedule(3, 0.01, 3, 0.01, 50))
+    assert lr3 == pytest.approx(0.01 * 0.01 ** (3 / 50), rel=1e-5)
+    lr49 = float(lr_schedule(49, 0.01, 3, 0.01, 50))
+    assert lr49 == pytest.approx(0.01 * 0.01 ** (49 / 50), rel=1e-5)
+
+
+def test_adam_matches_torch():
+    """Our masked Adam must reproduce torch.optim.Adam(weight_decay=...) with
+    the reference's grad clamp, to float32 tolerance over 25 steps
+    (train_unconditional.py:137-144,174-176)."""
+    import torch
+
+    rng = np.random.RandomState(0)
+    w0 = rng.randn(4, 3).astype(np.float32)
+    lr, betas, wd = 1e-2, (0.9, 0.95), 1.86e-5
+
+    # torch side
+    wt = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt = torch.optim.Adam([wt], lr=lr, betas=betas, eps=ADAM_EPS, weight_decay=wd)
+    grads = [rng.randn(4, 3).astype(np.float32) * 3 for _ in range(25)]
+    for g in grads:
+        opt.zero_grad()
+        wt.grad = torch.tensor(g.copy())
+        wt.grad.data.clamp_(-GRAD_CLAMP, GRAD_CLAMP)
+        opt.step()
+
+    # jax side
+    params = {"w": jnp.asarray(w0)}
+    mask = {"w": True}
+    opt_init, opt_update = make_optimizer(betas, wd, mask)
+    state = opt_init(params)
+    for g in grads:
+        updates, state = opt_update({"w": jnp.asarray(g)}, state, params, lr)
+        params = apply_updates(params, updates)
+
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), wt.detach().numpy(), atol=2e-6, rtol=1e-5
+    )
+
+
+def test_mask_freezes_leaves():
+    params = {"a": jnp.ones(3), "q_fixed": jnp.ones(3)}
+    mask = {"a": True, "q_fixed": False}
+    opt_init, opt_update = make_optimizer((0.9, 0.95), 0.0, mask)
+    state = opt_init(params)
+    g = {"a": jnp.ones(3), "q_fixed": jnp.ones(3)}
+    updates, state = opt_update(g, state, params, 0.1)
+    assert float(jnp.abs(updates["q_fixed"]).max()) == 0.0
+    assert float(jnp.abs(updates["a"]).max()) > 0.0
+
+
+def test_init_trainables_overwrites_only_trainables():
+    m = builders.hint(dim=8, n_blocks=2, c_internal=(8,), perm_fixed=True)
+    params = m.init(KEY)
+    mask = m.trainable_mask(params)
+    q_before = np.asarray(params["b1"]["q_fixed"])
+    new = init_trainables(params, mask, jax.random.PRNGKey(1), 0.005)
+    np.testing.assert_allclose(np.asarray(new["b1"]["q_fixed"]), q_before)
+    w = np.asarray(new["b0"]["L0"]["w0"])
+    assert abs(w.std() - 0.005) < 0.003  # ~init_scale-scaled normal
+
+
+def _toy_gaussian_data(key, n, dim, scale=2.0):
+    x = scale * jax.random.normal(key, (n, dim))
+    return np.asarray(x), None
+
+
+def test_training_reduces_loss_unconditional():
+    dim = 6
+    m = builders.hint(dim=dim, n_blocks=2, c_internal=(16, 8))
+    tr = Trainer(
+        model=m, kind=UNCONDITIONAL, n_epochs=8, batch_size=256, max_batches_per_epoch=8,
+        lr_init=0.01, pre_low_lr=1, init_scale=0.005, l2_weight_reg=1.86e-5,
+    )
+    x, _ = _toy_gaussian_data(jax.random.PRNGKey(2), 4096, dim)
+    state = tr.init_state(jax.random.PRNGKey(3))
+    first = tr.eval_epoch(state.params, jnp.asarray(x), None, jax.random.PRNGKey(4))
+    for e in range(tr.n_epochs):
+        state, _ = tr.train_epoch(state, jnp.asarray(x), None, jax.random.PRNGKey(10 + e), e)
+    last = tr.eval_epoch(state.params, jnp.asarray(x), None, jax.random.PRNGKey(5))
+    assert last.sum() < first.sum() - 0.5, (first, last)
+
+
+def test_training_conditional_hint_runs():
+    m = builders.conditional_hint(
+        dim_x=8, dim_y=2, n_blocks=2, c_internal=(8, 4), hidden_external=8, hidden_y=8
+    )
+    tr = Trainer(model=m, kind=CONDITIONAL_HINT, n_epochs=2, batch_size=128,
+                 max_batches_per_epoch=4, pre_low_lr=0)
+    x = np.random.RandomState(0).randn(512, 8).astype(np.float32)
+    y = np.random.RandomState(1).randn(512, 2).astype(np.float32)
+    state, final = tr.fit(
+        jax.random.PRNGKey(6), (jnp.asarray(x), jnp.asarray(y)), (jnp.asarray(x), jnp.asarray(y))
+    )
+    assert np.isfinite(final)
+
+
+def test_training_cinn_runs():
+    m = builders.cinn(dim=8, cond_dim=2, n_blocks=2, hidden=16)
+    tr = Trainer(model=m, kind=CONDITIONAL_CINN, n_epochs=2, batch_size=128,
+                 max_batches_per_epoch=4, pre_low_lr=0)
+    x = np.random.RandomState(0).randn(512, 8).astype(np.float32)
+    y = np.random.RandomState(1).randn(512, 2).astype(np.float32)
+    state, final = tr.fit(
+        jax.random.PRNGKey(7), (jnp.asarray(x), jnp.asarray(y)), (jnp.asarray(x), jnp.asarray(y))
+    )
+    assert np.isfinite(final)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    m = builders.hint(dim=6, n_blocks=2, c_internal=(8,))
+    tr = Trainer(model=m, kind=UNCONDITIONAL, batch_size=64, max_batches_per_epoch=2, n_epochs=1)
+    state = tr.init_state(jax.random.PRNGKey(8))
+    x = jnp.asarray(np.random.RandomState(2).randn(128, 6).astype(np.float32))
+    state, _ = tr.train_epoch(state, x, None, jax.random.PRNGKey(9), 0)
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save_npz(path, state)
+    template = tr.init_state(jax.random.PRNGKey(10))
+    restored = checkpoint.load_npz(path, template)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.opt.mu), jax.tree.leaves(restored.opt.mu)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert int(restored.opt.step) == int(state.opt.step)
+
+
+def test_weights_only_checkpoint(tmp_path):
+    m = builders.inn(dim=6, n_blocks=1, hidden=8)
+    params = m.init(KEY)
+    path = str(tmp_path / "w.npz")
+    checkpoint.save_params_npz(path, params)
+    restored = checkpoint.load_params_npz(path, params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
