@@ -1,0 +1,182 @@
+"""Driver benchmark: training throughput on the flagship HINT config.
+
+Measures jit-compiled training steps/sec of hint_tpu on the default JAX
+backend (TPU under the driver) for ``plus_shape.unconditional_hint_4_full``
+(d=100, 4 full-depth HAC blocks, batch 10,000 — the reference's headline
+toy config, /root/reference/configs/plus_shape/unconditional_hint_4_full.py),
+and compares against a freshly written PyTorch-CPU implementation of the
+same model+step (the reference stack is PyTorch; BASELINE.md target is
+>=20x PyTorch-CPU on one chip).
+
+Prints ONE JSON line:
+    {"metric": "train_steps_per_sec", "value": N, "unit": "steps/s",
+     "vs_baseline": N}
+
+Env knobs:
+    HINT_TPU_BENCH_STEPS     timed JAX steps            (default 30)
+    HINT_TPU_BENCH_REF_STEPS timed torch steps          (default 3)
+    HINT_TPU_BENCH_BATCH     batch size                 (default 10000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BATCH = int(os.environ.get("HINT_TPU_BENCH_BATCH", 10000))
+STEPS = int(os.environ.get("HINT_TPU_BENCH_STEPS", 30))
+REF_STEPS = int(os.environ.get("HINT_TPU_BENCH_REF_STEPS", 3))
+FLAGSHIP = "plus_shape.unconditional_hint_4_full"
+
+
+def bench_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from hint_tpu.configs import get_config
+    from hint_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    cfg = get_config(FLAGSHIP)
+    trainer = cfg.make_trainer()
+    trainer.batch_size = BATCH
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (BATCH, cfg.ndim_x), jnp.float32)
+    y = jnp.zeros((BATCH, 0), jnp.float32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(2), STEPS + 3)
+
+    # warmup: compile + 2 steady steps
+    for i in range(3):
+        state, terms = trainer.step_fn(state, x, y, keys[i], lr)
+    jax.block_until_ready(terms)
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state, terms = trainer.step_fn(state, x, y, keys[3 + i], lr)
+    jax.block_until_ready(terms)
+    dt = time.perf_counter() - t0
+    return STEPS / dt
+
+
+def bench_torch_cpu() -> float:
+    """PyTorch-CPU training step on the same model shape.
+
+    A from-scratch torch implementation of the flagship architecture (4
+    full-depth HAC blocks with Householder perms between blocks), matching
+    the reference's per-node sequential execution style and training step
+    (noise + NLL + backward + grad clamp + Adam(eps=1e-4)).
+    """
+    import numpy as np
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(0)
+    d = 100
+    c_internal = (263, 131, 65, 32, 32)
+
+    def widths(ci):
+        ci = tuple(ci)
+        if len(ci) == 1:
+            ci = ci + ci
+        return ci
+
+    class Tree(nn.Module):
+        def __init__(self, dim, ci):
+            super().__init__()
+            ci = widths(ci)
+            self.split = dim // 2
+            self.out = dim - self.split
+            h = ci[0]
+            self.s = nn.Sequential(
+                nn.Linear(self.split, h), nn.ReLU(), nn.Linear(h, h), nn.ReLU(),
+                nn.Linear(h, self.out),
+            )
+            self.t = nn.Sequential(
+                nn.Linear(self.split, h), nn.ReLU(), nn.Linear(h, h), nn.ReLU(),
+                nn.Linear(h, self.out),
+            )
+            self.leaf = dim < 4
+            if not self.leaf:
+                self.upper = Tree(self.split, ci[1:])
+                self.lower = Tree(self.out, ci[1:])
+
+        def forward(self, x):
+            xu, xl = x[:, : self.split], x[:, self.split :]
+            j = x.new_zeros(x.shape[0])
+            if not self.leaf:
+                xu, ju = self.upper(xu)
+                xl, jl = self.lower(xl)
+                j = ju + jl
+            s = self.s(xu)
+            log_e = 4.0 * 0.636 * torch.atan(s)
+            xl = torch.exp(log_e) * xl + self.t(xu)
+            return torch.cat([xu, xl], dim=1), j + log_e.sum(dim=1)
+
+    class Model(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.blocks = nn.ModuleList(Tree(d, c_internal) for _ in range(4))
+            qs = []
+            for _ in range(3):
+                q, _ = np.linalg.qr(np.random.randn(d, d))
+                qs.append(torch.tensor(q, dtype=torch.float32))
+            self.qs = qs
+
+        def forward(self, x):
+            j = x.new_zeros(x.shape[0])
+            for i, blk in enumerate(self.blocks):
+                if i > 0:
+                    x = x @ self.qs[i - 1]
+                x, ji = blk(x)
+                j = j + ji
+            return x, j
+
+    model = Model()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3, eps=1e-4)
+    x0 = torch.randn(BATCH, d)
+
+    def step():
+        x = x0 + 0.01 * torch.randn_like(x0)
+        z, j = model(x)
+        loss = (0.5 * z.pow(2).sum(1)).mean() - j.mean()
+        opt.zero_grad()
+        loss.backward()
+        for p in model.parameters():
+            if p.grad is not None:
+                p.grad.data.clamp_(-5.0, 5.0)
+        opt.step()
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(REF_STEPS):
+        step()
+    dt = time.perf_counter() - t0
+    return REF_STEPS / dt
+
+
+def main():
+    jax_sps = bench_jax()
+    try:
+        ref_sps = bench_torch_cpu()
+        ratio = jax_sps / ref_sps
+    except Exception as e:  # torch missing/broken: report absolute number only
+        print(f"torch baseline failed: {e}", file=sys.stderr)
+        ratio = float("nan")
+    print(
+        json.dumps(
+            {
+                "metric": "train_steps_per_sec",
+                "value": round(jax_sps, 3),
+                "unit": "steps/s",
+                "vs_baseline": round(ratio, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,305 @@
+"""ABC / rejection-sampling baseline and model-comparison harness.
+
+Re-design of /root/reference/rejection_sampling.py. The reference draws 1e8
+prior samples in a single-process Python loop ("will take some time",
+README.md:40), computes quantile-ABC posteriors with scipy on one core, and
+runs MMD on CUDA. Here:
+
+* the prior sweep is parallel over host CPU cores (shape generation is
+  shapely-free numpy, embarrassingly parallel — SURVEY.md §3.4);
+* quantile-ABC's nearest-n search runs chunked on the accelerator via
+  ``lax.top_k`` (negated distances), streaming the 1e8-row observation
+  table through HBM;
+* MMD is the jitted ``hint_tpu.evaluation.mmd.multi_mmd``;
+* model comparison takes explicit (name → sampler) mappings instead of the
+  reference's exec-import of config modules (rejection_sampling.py:20-30).
+
+Cache layout matches the reference so results are interchangeable:
+``abc/{name}_{x,y}_huge.npy``, ``abc/{name}/{i:05}.pkl``,
+``abc/{name}_{un,}conditional_comparison_{run}.pkl``.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+ArrayPair = Tuple[np.ndarray, np.ndarray]
+
+
+# -- prior sweep -------------------------------------------------------------------
+
+
+def _sample_chunk(args):
+    model_factory, n, seed = args
+    np.random.seed(seed)
+    model = model_factory()
+    x = model.sample_prior(n).astype(np.float32)
+    y = model.forward_process(x).astype(np.float32)
+    return x, y
+
+
+def prepare_samples(
+    model_factory: Callable,
+    n_total: int = int(1e8),
+    out_dir: str = "abc",
+    chunk: int = 10_000,
+    n_workers: Optional[int] = None,
+    seed: int = 0,
+) -> ArrayPair:
+    """Draw ``n_total`` prior samples + observations in parallel and cache to
+    ``abc/{name}_{x,y}_huge.npy`` (rejection_sampling.py:76-85).
+
+    ``model_factory`` must be picklable (the class itself works).
+    """
+    import multiprocessing as mp
+
+    model = model_factory()
+    fx = os.path.join(out_dir, f"{model.name}_x_huge.npy")
+    fy = os.path.join(out_dir, f"{model.name}_y_huge.npy")
+    if os.path.exists(fx) and os.path.exists(fy):
+        x = np.load(fx, mmap_mode="r")
+        if x.shape[0] >= n_total:
+            return np.load(fx, mmap_mode="r"), np.load(fy, mmap_mode="r")
+    os.makedirs(out_dir, exist_ok=True)
+    n_chunks = max(1, n_total // chunk)
+    args = [(model_factory, chunk, seed + i) for i in range(n_chunks)]
+    t0 = time.time()
+    n_workers = n_workers or os.cpu_count()
+    # fork, deliberately: spawn re-imports __main__ (hangs REPL/stdin callers
+    # without a __main__ guard), and the workers touch only numpy/scipy — no
+    # JAX/XLA state crosses the fork.
+    mp = mp.get_context("fork")
+    with mp.Pool(n_workers) as pool:
+        parts = pool.map(_sample_chunk, args, chunksize=4)
+    x = np.concatenate([p[0] for p in parts], axis=0)
+    y = np.concatenate([p[1] for p in parts], axis=0)
+    np.save(fx, x)
+    np.save(fy, y)
+    print(f"prepared {x.shape[0]:,} prior samples in {time.time() - t0:.1f}s "
+          f"({n_workers} workers)")
+    return x, y
+
+
+# -- quantile ABC --------------------------------------------------------------------
+
+
+def quantile_ABC(
+    x: np.ndarray, y: np.ndarray, y_target: np.ndarray, n: int = 4000,
+    device_chunk: int = 4_000_000,
+) -> Tuple[np.ndarray, float]:
+    """The ``n`` prior samples whose observations are closest to ``y_target``
+    (excluding the single closest, matching the reference's ``[1:]`` slice —
+    rejection_sampling.py:88-96). Returns (samples, threshold).
+
+    Distance + top-k run chunked on the accelerator; only (n+2)-sized
+    per-chunk survivors return to host.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    y_t = np.asarray(y_target, np.float32).reshape(1, -1)
+    k = min(n + 2, y.shape[0])  # +1 for the dropped nearest, +1 for threshold
+
+    @jax.jit
+    def chunk_topk(y_chunk, yt):
+        d = jnp.sqrt(jnp.sum((y_chunk - yt) ** 2, axis=1))
+        neg, idx = jax.lax.top_k(-d, min(k, y_chunk.shape[0]))
+        return -neg, idx
+
+    best_d, best_i = [], []
+    for start in range(0, y.shape[0], device_chunk):
+        yc = jnp.asarray(y[start : start + device_chunk])
+        d, i = chunk_topk(yc, jnp.asarray(y_t))
+        best_d.append(np.asarray(d))
+        best_i.append(np.asarray(i) + start)
+    d = np.concatenate(best_d)
+    i = np.concatenate(best_i)
+    order = np.argsort(d, kind="stable")[1 : k]  # drop single nearest (:93)
+    sel = i[order][:n]
+    threshold = float(d[order[n]]) if len(order) > n else float(d[order[-1]])
+    return np.ascontiguousarray(x[sel]), threshold
+
+
+# -- conditional ground-truth correlation (rejection_sampling.py:105-132) -------------
+
+
+def correlation_conditional(
+    data_model, y_target, n: int = 4000, out_dir: str = "data", abc_dir: str = "abc",
+    tol: float = 0.05,
+) -> np.ndarray:
+    """GT posterior correlation matrix for one target; cached like the
+    reference (data/{name}_corr_conditional{_sample}.npy)."""
+    y_target = np.asarray(y_target, np.float32)
+    os.makedirs(out_dir, exist_ok=True)
+    f_sample = os.path.join(out_dir, f"{data_model.name}_corr_conditional_sample.npy")
+    if os.path.exists(f_sample):
+        sample = np.load(f_sample)
+    elif data_model.name.startswith("lens-shape"):
+        x = np.load(os.path.join(abc_dir, f"{data_model.name}_x_huge.npy"), mmap_mode="r")
+        y = np.load(os.path.join(abc_dir, f"{data_model.name}_y_huge.npy"), mmap_mode="r")
+        sample, _ = quantile_ABC(x, y, y_target, n=n)
+    else:  # plus-shape: target-conditioned rejection (rejection_sampling.py:113-127)
+        samples = []
+        while len(samples) < n:
+            coords, label = data_model.generate_plus_shape(forward=True, target=y_target)
+            if np.sqrt(np.sum(np.square(y_target - label))) < tol:
+                samples.append(
+                    data_model.fourier_coeffs(coords, n_coeffs=data_model.n_parameters // 4)
+                )
+        sample = data_model.flatten_coeffs(np.stack(samples))
+    np.save(f_sample, sample)
+    corr = np.corrcoef(sample.T)
+    np.save(os.path.join(out_dir, f"{data_model.name}_corr_conditional.npy"), corr)
+    return corr
+
+
+# -- systematic comparisons ------------------------------------------------------------
+
+
+def compare_unconditional(
+    data_model,
+    samplers: Dict[str, Callable[[np.ndarray], np.ndarray]],
+    n_runs: int = 100,
+    sample_size: int = 4000,
+    abc_dir: str = "abc",
+    run: int = 0,
+    rng: Optional[np.random.Generator] = None,
+    verbose: bool = True,
+) -> Dict[str, Dict[str, list]]:
+    """MMD of each model's prior samples vs held-out true prior samples
+    (rejection_sampling.py:135-165). ``samplers[name](z) -> x`` inverts the
+    shared latent batch."""
+    import jax.numpy as jnp
+
+    from hint_tpu.evaluation.mmd import multi_mmd
+
+    rng = rng or np.random.default_rng(0)
+    x = np.load(os.path.join(abc_dir, f"{data_model.name}_x_huge.npy"), mmap_mode="r")
+    out = {name: {"times": [], "mmds": []} for name in samplers}
+    for i in range(n_runs):
+        sel = rng.choice(x.shape[0], sample_size, replace=False)
+        gt = jnp.asarray(np.ascontiguousarray(x[np.sort(sel)]))
+        z = rng.standard_normal((sample_size, data_model.n_parameters)).astype(np.float32)
+        for name, sampler in samplers.items():
+            t0 = time.time()
+            sample = np.asarray(sampler(z))
+            out[name]["times"].append(time.time() - t0)
+            out[name]["mmds"].append(float(multi_mmd(jnp.asarray(sample), gt)))
+            if verbose:
+                print(f"run {i + 1}/{n_runs} {name}: mmd={out[name]['mmds'][-1]:.5f} "
+                      f"({out[name]['times'][-1]:.3f}s)")
+    _dump_comparison(out, os.path.join(abc_dir, f"{data_model.name}_unconditional_comparison_{run}.pkl"))
+    return out
+
+
+def compare_conditional(
+    data_model,
+    samplers: Dict[str, Callable[[np.ndarray, np.ndarray], np.ndarray]],
+    n_runs: int = 1000,
+    sample_size: int = 4000,
+    abc_dir: str = "abc",
+    run: int = 0,
+    rng: Optional[np.random.Generator] = None,
+    verbose: bool = True,
+) -> Dict[str, Dict[str, list]]:
+    """Per-target posterior MMD vs quantile-ABC ground truth + forward-process
+    distance (rejection_sampling.py:168-213). ``samplers[name](y_tiled, z) ->
+    x``. GT posteriors cache to abc/{name}/{i:05}.pkl, reference layout."""
+    import jax.numpy as jnp
+
+    from hint_tpu.evaluation.metrics import mean_target_distance
+    from hint_tpu.evaluation.mmd import multi_mmd
+
+    rng = rng or np.random.default_rng(0)
+    x = np.load(os.path.join(abc_dir, f"{data_model.name}_x_huge.npy"), mmap_mode="r")
+    y = np.load(os.path.join(abc_dir, f"{data_model.name}_y_huge.npy"), mmap_mode="r")
+    gt_dir = os.path.join(abc_dir, data_model.name)
+    os.makedirs(gt_dir, exist_ok=True)
+    out = {name: {"times": [], "mmds": [], "dists": []} for name in samplers}
+    for i in range(n_runs):
+        f_gt = os.path.join(gt_dir, f"{i:05}.pkl")
+        try:
+            with open(f_gt, "rb") as f:
+                y_target, gt_sample, threshold = pickle.load(f)
+            assert gt_sample.shape[0] >= sample_size
+        except Exception:
+            y_target = data_model.forward_process(data_model.sample_prior(1)).astype(np.float32)
+            gt_sample, threshold = quantile_ABC(x, y, y_target[0], n=sample_size)
+            with open(f_gt, "wb") as f:
+                pickle.dump((y_target, gt_sample, threshold), f)
+        gt = jnp.asarray(gt_sample)
+        z = rng.standard_normal((sample_size, data_model.n_parameters)).astype(np.float32)
+        y_tiled = np.broadcast_to(
+            np.asarray(y_target, np.float32).reshape(1, -1), (sample_size, data_model.n_observations)
+        )
+        for name, sampler in samplers.items():
+            t0 = time.time()
+            sample = np.asarray(sampler(y_tiled, z))
+            out[name]["times"].append(time.time() - t0)
+            out[name]["mmds"].append(float(multi_mmd(jnp.asarray(sample), gt)))
+            out[name]["dists"].append(
+                mean_target_distance(data_model, np.asarray(y_target).reshape(-1), sample)
+            )
+            if verbose:
+                print(f"run {i + 1}/{n_runs} {name}: mmd={out[name]['mmds'][-1]:.5f} "
+                      f"dist={out[name]['dists'][-1]:.5f} ({out[name]['times'][-1]:.3f}s)")
+    _dump_comparison(out, os.path.join(abc_dir, f"{data_model.name}_conditional_comparison_{run}.pkl"))
+    return out
+
+
+def _dump_comparison(out: Dict, path: str) -> None:
+    with open(path, "wb") as f:
+        pickle.dump(out, f)
+
+
+def accumulate_metrics(
+    data_model_name: str, conditional: bool, model_names, abc_dir: str = "abc", n_runs: int = 3
+) -> Dict[str, Tuple[float, float]]:
+    """mean ± std of per-run mean MMDs over the training runs
+    (rejection_sampling.py:216-243)."""
+    kind = "conditional" if conditional else "unconditional"
+    mmds = {name: [] for name in model_names}
+    for i in range(n_runs):
+        path = os.path.join(abc_dir, f"{data_model_name}_{kind}_comparison_{i}.pkl")
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        for name in model_names:
+            if name in d:
+                mmds[name].append(np.mean(d[name]["mmds"]))
+    result = {}
+    for name, vals in mmds.items():
+        result[name] = (float(np.nanmean(vals)), float(np.nanstd(vals)))
+        print(f"{name}: {result[name][0]:.3f} \\pm {result[name][1]:.3f}")
+    return result
+
+
+def check_mmd_kernels(x, y, widths_exponents=((1, 0.5), (0.2, 0.8), (0.2, 0.4)), out_path="mmd_kernels.png"):
+    """Distance histograms overlaid with the MMD kernels, saved headless
+    (rejection_sampling.py:33-53)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    d_xx = np.sum((x[:, None, :] - x[None, :, :]) ** 2, axis=-1).ravel()
+    d_yy = np.sum((y[:, None, :] - y[None, :, :]) ** 2, axis=-1).ravel()
+    d_xy = np.sum((x[:, None, :] - y[None, :, :]) ** 2, axis=-1).ravel()
+    bins = np.linspace(0, 20, 100)
+    plt.figure()
+    for d, label in ((d_xx, "dxx"), (d_yy, "dyy"), (d_xy, "dxy")):
+        plt.hist(d, bins, alpha=0.5, label=label, density=True)
+    total = np.zeros_like(bins)
+    for c, a in widths_exponents:
+        k = c**a * ((c + bins) / a) ** -a
+        total += k
+        plt.plot(bins, k, label=f"{c:.2f}/{a:.2f}")
+    plt.plot(bins, total, lw=2, c="k", label="sum")
+    plt.legend(loc="upper right")
+    plt.savefig(out_path, dpi=120)
+    plt.close()
+    return out_path

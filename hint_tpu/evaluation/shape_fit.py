@@ -1,0 +1,341 @@
+"""Parametric ideal-shape fitting — the shape-realism metric machinery.
+
+Re-design of the reference fitter (/root/reference/best_shape_fit.py) in
+JAX. The reference fits one curve at a time with torch autograd on CPU,
+looping restarts in Python (best_shape_fit.py:100-129, 238-261); here the
+whole fit — 400 (plus) / 100 (lens) SGD steps — is one ``lax.scan``, and
+both the multi-restart axis and the curve axis are ``vmap``-ed, so scoring
+N sampled shapes is a single device program instead of N·9 Python loops.
+
+Exact semantics preserved:
+
+* plus loss: mean over points of min squared distance to the 12 outline
+  segments + corner_weight · mean over corners of min squared distance to
+  the points, corner_weight annealed 1→0 over steps
+  (best_shape_fit.py:54-65,115);
+* plus outline construction with the ±0.01 arm clamps
+  (best_shape_fit.py:26-50 — the clamps make all 12 segments non-degenerate,
+  so the reference's zero-length filter never triggers and a static segment
+  count is exact);
+* lens loss: two-sided mean-of-minima squared distance between the
+  parameterized prototype and the points (best_shape_fit.py:203-209);
+* lens prototype: intersection of circles r=1.5 at (0,0) and r=3.0 at
+  (3.6,0), resolution 64, centered (best_shape_fit.py:222-226);
+* SGD momentum 0.2, lr 0.1 (angle 0.01), per-step decay 0.1^(1/steps)
+  (best_shape_fit.py:108-110, 244-246);
+* restart grids: 9 xy-shifts for plus (:100), dominant angle and its
+  antipode for lens (:238); dominant angle from RANSAC line fit for plus
+  (:83-89,94-97) and from the most distant point pair for lens (:231-235);
+* winner selection reproduces the reference's early-break-at-0.005 +
+  sort-by-loss over evaluated restarts (:122-129).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hint_tpu.data import geometry
+
+PLUS_STEPS = 400  # best_shape_fit.py:113
+LENS_STEPS = 100  # best_shape_fit.py:249
+MOMENTUM = 0.2
+LR_MAIN = 0.1
+LR_ANGLE = 0.01
+EARLY_BREAK_LOSS = 0.005  # best_shape_fit.py:123
+
+# 9 restart shifts (best_shape_fit.py:100)
+PLUS_XYSHIFTS = np.array(
+    [(0, 0), (-1.5, -1.5), (-1.5, 0), (-1.5, 1.5), (0, -1.5), (0, 1.5), (1.5, -1.5), (1.5, 0), (1.5, 1.5)],
+    np.float32,
+)
+
+
+# -- plus shape ----------------------------------------------------------------
+
+
+def plus_segments(params: jnp.ndarray) -> jnp.ndarray:
+    """(12, 2, 2) outline segments of the plus from the 9-vector
+    [xlength, ylength, xwidth, ywidth, xshift, yshift, xoffset, yoffset, angle]
+    (best_shape_fit.py:26-50)."""
+    xlength, ylength, xwidth, ywidth, xshift, yshift, xoffset, yoffset, angle = params
+    xleft, xbottom = xshift - xlength / 2, -xwidth / 2
+    xright, xtop = xshift + xlength / 2, xwidth / 2
+    yleft, ybottom = -ywidth / 2, yshift - ylength / 2
+    yright, ytop = ywidth / 2, yshift + ylength / 2
+    xleft = jnp.minimum(xleft, yleft - 0.01)
+    xright = jnp.maximum(xright, yright + 0.01)
+    ytop = jnp.maximum(ytop, xtop + 0.01)
+    ybottom = jnp.minimum(ybottom, xbottom - 0.01)
+    corners = jnp.array(
+        [
+            [xleft, xtop], [yleft, xtop], [yleft, ytop], [yright, ytop],
+            [yright, xtop], [xright, xtop], [xright, xbottom], [yright, xbottom],
+            [yright, ybottom], [yleft, ybottom], [yleft, xbottom], [xleft, xbottom],
+        ]
+    )
+    segs = jnp.stack([corners, jnp.roll(corners, -1, axis=0)], axis=1)
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    rot = jnp.array([[c, s], [-s, c]])
+    return segs @ rot + jnp.array([xoffset, yoffset])
+
+
+def _sq_dist_points_to_segment(points, a, b):
+    """Squared distance from each point to segment a→b
+    (best_shape_fit.py:15-22)."""
+    n = b - a
+    length = jnp.sqrt(jnp.sum(n * n))
+    n = n / length
+    ap = a[None, :] - points
+    t = jnp.clip(-(ap @ n), 0.0, length)
+    short = ap + t[:, None] * n[None, :]
+    return jnp.sum(short**2, axis=1)
+
+
+def plus_loss(points: jnp.ndarray, params: jnp.ndarray, corner_weight) -> jnp.ndarray:
+    """(best_shape_fit.py:54-65)."""
+    segs = plus_segments(params)
+    d = jax.vmap(lambda seg: _sq_dist_points_to_segment(points, seg[0], seg[1]))(segs)
+    point_term = jnp.min(d, axis=0).mean()
+    corners = segs[:, 0, :]
+    cd = jnp.sum((corners[:, None, :] - points[None, :, :]) ** 2, axis=-1)
+    corner_term = jnp.min(cd, axis=1).mean()
+    return point_term + corner_weight * corner_term
+
+
+# -- lens shape ----------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=1)
+def lens_prototype() -> np.ndarray:
+    """Centered lens outline: circle(0,0,1.5) ∩ circle(3.6,0,3.0),
+    resolution 64, closed ring (best_shape_fit.py:222-226)."""
+    c0 = geometry.circle_polygon(0.0, 0.0, 1.5, resolution=64)
+    c1 = geometry.circle_polygon(3.6, 0.0, 3.0, resolution=64)
+    ring = geometry.convex_intersection(c0, c1)
+    ring = np.concatenate([ring, ring[:1]], axis=0)  # shapely exterior closes
+    return (ring - ring.mean(axis=0)).astype(np.float32)
+
+
+def lens_points(prototype: jnp.ndarray, params: jnp.ndarray) -> jnp.ndarray:
+    """Prototype rotated, scaled, shifted by [x, y, scale, angle]
+    (best_shape_fit.py:195-199)."""
+    x, y, scale, angle = params
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    rot = jnp.array([[c, s], [-s, c]])
+    return (prototype @ rot) * scale + jnp.array([x, y])[None, :]
+
+
+def lens_loss(prototype, points, params, fit_weight=1.0):
+    """(best_shape_fit.py:203-209)."""
+    lens = lens_points(prototype, params)
+    d = jnp.sum((lens[None, :, :] - points[:, None, :]) ** 2, axis=-1)
+    return jnp.min(d, axis=1).mean() + fit_weight * jnp.min(d, axis=0).mean()
+
+
+# -- fitting engine --------------------------------------------------------------
+
+
+def _sgd_fit(loss_of, params0: jnp.ndarray, lr_vec: jnp.ndarray, n_steps: int, decay: float):
+    """SGD+momentum with per-parameter lr and per-step exponential decay;
+    returns (final_params, final_loss). ``loss_of(params, i)`` gets the step
+    index for annealed weights."""
+
+    def step(carry, i):
+        params, buf = carry
+        loss, g = jax.value_and_grad(loss_of)(params, i)
+        buf = MOMENTUM * buf + g
+        params = params - lr_vec * (decay**i) * buf
+        return (params, buf), loss
+
+    (params, _), losses = jax.lax.scan(
+        step, (params0, jnp.zeros_like(params0)), jnp.arange(n_steps, dtype=jnp.float32)
+    )
+    return params, losses[-1]
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps",))
+def _fit_plus_restarts(points: jnp.ndarray, angle: jnp.ndarray, n_steps: int = PLUS_STEPS):
+    """Fit all 9 restarts in parallel; returns (params (9,9), losses (9,))."""
+    center = points.mean(axis=0)
+    shifts = jnp.asarray(PLUS_XYSHIFTS)
+
+    def init(shift):
+        return jnp.array(
+            [5.0, 5.0, 2.0, 2.0, shift[0], shift[1], center[0], center[1], angle]
+        )
+
+    params0 = jax.vmap(init)(shifts)
+    lr_vec = jnp.array([LR_MAIN] * 8 + [LR_ANGLE])
+    decay = 0.1 ** (1.0 / n_steps)
+
+    def loss_of(params, i):
+        return plus_loss(points, params, corner_weight=1.0 - i / n_steps)
+
+    return jax.vmap(lambda p0: _sgd_fit(loss_of, p0, lr_vec, n_steps, decay))(params0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps",))
+def _fit_lens_restarts(points: jnp.ndarray, angle: jnp.ndarray, n_steps: int = LENS_STEPS):
+    """Fit both angle restarts in parallel; returns (params (2,4), losses (2,))."""
+    proto = jnp.asarray(lens_prototype())
+    center = points.mean(axis=0)
+    angles = jnp.stack([angle, (angle + jnp.pi) % (2 * jnp.pi)])
+
+    def init(a):
+        return jnp.array([center[0], center[1], 2.0, a])
+
+    params0 = jax.vmap(init)(angles)
+    lr_vec = jnp.array([LR_MAIN] * 3 + [LR_ANGLE])
+    decay = 0.1 ** (1.0 / n_steps)
+
+    def loss_of(params, i):
+        return lens_loss(proto, points, params)
+
+    return jax.vmap(lambda p0: _sgd_fit(loss_of, p0, lr_vec, n_steps, decay))(params0)
+
+
+def _select_restart(params: np.ndarray, losses: np.ndarray) -> np.ndarray:
+    """Reference winner: restarts run in order with an early break once a
+    loss < 0.005 appears; the winner is the min over the evaluated prefix
+    (best_shape_fit.py:122-129)."""
+    below = np.nonzero(losses < EARLY_BREAK_LOSS)[0]
+    end = below[0] + 1 if len(below) else len(losses)
+    k = int(np.argmin(losses[:end]))
+    return params[k]
+
+
+def dominant_angle_ransac(points: np.ndarray, residual_threshold: float = 0.05) -> float:
+    """Dominant bar angle via RANSAC line fit (best_shape_fit.py:83-89,94-97)."""
+    from sklearn import linear_model
+
+    r = linear_model.RANSACRegressor(residual_threshold=residual_threshold)
+    r.fit(points[:, 0, None], points[:, 1, None])
+    pred = r.predict([[0], [1]])
+    return float(np.arctan2(pred[1, 0] - pred[0, 0], 1.0))
+
+
+def dominant_angle_lens(points: np.ndarray) -> float:
+    """Angle of the most distant point pair (best_shape_fit.py:231-235)."""
+    d = np.sum((points[None, :, :] - points[:, None, :]) ** 2, axis=-1)
+    i, j = np.unravel_index(int(d.argmax()), d.shape)
+    v = points[j] - points[i]
+    return float(-np.arctan2(v[0], v[1]))
+
+
+def fit_plus_shape_to_points(points: np.ndarray) -> np.ndarray:
+    """Best-fit 9-vector plus params for one (N, 2) curve."""
+    angle = dominant_angle_ransac(points)
+    params, losses = _fit_plus_restarts(
+        jnp.asarray(points, jnp.float32), jnp.asarray(angle, jnp.float32)
+    )
+    return _select_restart(np.asarray(params), np.asarray(losses))
+
+
+def fit_lens_shape_to_points(points: np.ndarray) -> np.ndarray:
+    """Best-fit 4-vector lens params for one (N, 2) curve."""
+    angle = dominant_angle_lens(points)
+    params, losses = _fit_lens_restarts(
+        jnp.asarray(points, jnp.float32), jnp.asarray(angle, jnp.float32)
+    )
+    return _select_restart(np.asarray(params), np.asarray(losses))
+
+
+# -- batched fitting (TPU-first: one program for all curves) ---------------------
+
+
+def fit_plus_shapes_batch(curves: np.ndarray) -> np.ndarray:
+    """Fit many (B, N, 2) curves at once: vmap over curves × restarts.
+
+    RANSAC init angles are host-side (tiny); the 400-step optimization of
+    B·9 restarts runs as one device program.
+    """
+    angles = np.array([dominant_angle_ransac(c) for c in curves], np.float32)
+    fit = jax.jit(jax.vmap(lambda p, a: _fit_plus_restarts(p, a)))
+    params, losses = fit(jnp.asarray(curves, jnp.float32), jnp.asarray(angles))
+    params, losses = np.asarray(params), np.asarray(losses)
+    return np.stack([_select_restart(params[i], losses[i]) for i in range(len(curves))])
+
+
+def fit_lens_shapes_batch(curves: np.ndarray) -> np.ndarray:
+    angles = np.array([dominant_angle_lens(c) for c in curves], np.float32)
+    fit = jax.jit(jax.vmap(lambda p, a: _fit_lens_restarts(p, a)))
+    params, losses = fit(jnp.asarray(curves, jnp.float32), jnp.asarray(angles))
+    params, losses = np.asarray(params), np.asarray(losses)
+    return np.stack([_select_restart(params[i], losses[i]) for i in range(len(curves))])
+
+
+# -- metrics ---------------------------------------------------------------------
+
+
+def iou_and_dice_plus(params: np.ndarray, points: np.ndarray) -> Tuple[float, float]:
+    """(best_shape_fit.py:133-139)."""
+    segs = np.asarray(plus_segments(jnp.asarray(params)))
+    return geometry.iou_and_dice(segs[:, 0, :], points)
+
+
+def iou_and_dice_lens(params: np.ndarray, points: np.ndarray) -> Tuple[float, float]:
+    """(best_shape_fit.py:265-271)."""
+    lens = np.asarray(lens_points(jnp.asarray(lens_prototype()), jnp.asarray(params)))
+    return geometry.iou_and_dice(lens, points)
+
+
+def hausdorff_plus(params: np.ndarray, points: np.ndarray, max_dist: float = 0.02):
+    """Densified plus outline vs curve (best_shape_fit.py:153-156)."""
+    from hint_tpu.data.fourier import PlusShapeModel
+
+    segs = np.asarray(plus_segments(jnp.asarray(params)))
+    dense = PlusShapeModel().densify_polyline(segs[:, 0, :], max_dist=max_dist)
+    return geometry.hausdorff(dense, points)
+
+
+def hausdorff_lens(params: np.ndarray, points: np.ndarray):
+    """(best_shape_fit.py:275-277)."""
+    lens = np.asarray(lens_points(jnp.asarray(lens_prototype()), jnp.asarray(params)))
+    return geometry.hausdorff(lens, points)
+
+
+# -- self-checks (reference demo entry points, best_shape_fit.py:160-191,281-313) --
+
+
+def check_plus_shape_fitting(verbose: bool = True):
+    from hint_tpu.data.fourier import PlusShapeModel
+
+    model = PlusShapeModel()
+    curve = model.generate_plus_shape()
+    coeffs = model.fourier_coeffs(curve, n_coeffs=model.n_parameters // 4)
+    pts = model.trace_fourier_curves(coeffs[None])[0].astype(np.float32)
+    dense = model.trace_fourier_curves(coeffs[None], n_points=1000)[0]
+    params = fit_plus_shape_to_points(pts)
+    iou, dice = iou_and_dice_plus(params, pts)
+    mh, ah = hausdorff_plus(params, dense)
+    if verbose:
+        print(f"IoU:  {iou:.3f}\nDICE: {dice:.3f}")
+        print(f"max Hausdorff: {mh:.3f}\navg Hausdorff: {ah:.3f}")
+    return iou, dice, mh, ah
+
+
+def check_lens_shape_fitting(verbose: bool = True):
+    from hint_tpu.data.fourier import LensShapeModel
+
+    model = LensShapeModel()
+    curve = model.generate_lens_shape()
+    coeffs = model.fourier_coeffs(curve, n_coeffs=model.n_parameters // 4)
+    pts = model.trace_fourier_curves(coeffs[None])[0].astype(np.float32)
+    dense = model.trace_fourier_curves(coeffs[None], n_points=1000)[0]
+    params = fit_lens_shape_to_points(pts)
+    iou, dice = iou_and_dice_lens(params, pts)
+    mh, ah = hausdorff_lens(params, dense)
+    if verbose:
+        print(f"IoU:  {iou:.3f}\nDICE: {dice:.3f}")
+        print(f"max Hausdorff: {mh:.3f}\navg Hausdorff: {ah:.3f}")
+    return iou, dice, mh, ah
+
+
+if __name__ == "__main__":
+    check_plus_shape_fitting()
+    check_lens_shape_fitting()

@@ -16,3 +16,9 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persist XLA executables across test runs: the unrolled HAC graphs dominate
+# suite wall-clock and recompile identically every run otherwise.
+from hint_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
