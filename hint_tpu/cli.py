@@ -129,6 +129,45 @@ def cmd_sample(args):
     print(f"saved {args.n} samples to {args.out}")
 
 
+def cmd_experiment(args):
+    from hint_tpu import experiments
+    from hint_tpu.monitor import ConsoleMonitor
+
+    monitor = ConsoleMonitor() if args.verbose else None
+    if args.what == "shapes":
+        experiments.train_and_evaluate(
+            args.configs, n_runs=args.runs, n_eval_samples=args.n_eval_samples,
+            results_dir=args.results_dir, cache_dir=args.cache_dir,
+            uci_root=args.uci_root, seed=args.seed, monitor=monitor,
+        )
+    elif args.what == "uci":
+        configs = args.configs or None
+        kwargs = dict(
+            n_runs=args.runs, results_dir=args.results_dir, uci_root=args.uci_root,
+            seed=args.seed, monitor=monitor,
+        )
+        if configs:
+            experiments.uci_train_and_eval(configs, **kwargs)
+        else:
+            experiments.uci_train_and_eval(**kwargs)
+    elif args.what == "collect-uci":
+        if args.configs:
+            experiments.uci_collect_results(args.configs, results_dir=args.results_dir)
+        else:
+            experiments.uci_collect_results(results_dir=args.results_dir)
+    elif args.what == "collect-shapes":
+        experiments.collect_shape_results(args.configs, n_runs=args.runs, results_dir=args.results_dir)
+    elif args.what == "eval-shapes":
+        experiments.eval_shapes(args.configs, results_dir=args.results_dir)
+    elif args.what == "likelihood":
+        experiments.test_likelihood(
+            args.configs, n_runs=args.runs, results_dir=args.results_dir,
+            cache_dir=args.cache_dir, uci_root=args.uci_root, seed=args.seed,
+        )
+    else:
+        sys.exit(f"unknown experiment {args.what!r}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="hint_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -156,6 +195,24 @@ def main(argv=None):
     p.add_argument("--y-target", type=float, nargs="*", default=None)
     p.add_argument("--out", default="samples.npy")
     p.set_defaults(fn=cmd_sample)
+
+    p = sub.add_parser(
+        "experiment",
+        help="sweep drivers (reference run_experiments / run_uci_experiments / eval_shapes)",
+    )
+    p.add_argument(
+        "what",
+        choices=["shapes", "uci", "collect-uci", "collect-shapes", "eval-shapes", "likelihood"],
+    )
+    p.add_argument("configs", nargs="*", help="registry config names")
+    p.add_argument("--runs", type=int, default=1)
+    p.add_argument("--n-eval-samples", type=int, default=1000)
+    p.add_argument("--results-dir", default="results")
+    p.add_argument("--cache-dir", default="data")
+    p.add_argument("--uci-root", default=".")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--verbose", action="store_true")
+    p.set_defaults(fn=cmd_experiment)
 
     args = ap.parse_args(argv)
     return args.fn(args)
