@@ -28,11 +28,17 @@ import time
 BATCH = int(os.environ.get("HINT_TPU_BENCH_BATCH", 10000))
 STEPS = int(os.environ.get("HINT_TPU_BENCH_STEPS", 30))
 REF_STEPS = int(os.environ.get("HINT_TPU_BENCH_REF_STEPS", 3))
+IMPL = os.environ.get("HINT_TPU_BENCH_IMPL", "levelwise")  # levelwise | pallas
 FLAGSHIP = "plus_shape.unconditional_hint_4_full"
 
 
 def bench_jax() -> float:
     import jax
+
+    # the session sitecustomize force-selects the TPU plugin via
+    # jax.config.update, overriding the env var — re-assert the user's choice
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from hint_tpu.configs import get_config
@@ -41,7 +47,7 @@ def bench_jax() -> float:
     enable_compilation_cache()
 
     cfg = get_config(FLAGSHIP)
-    trainer = cfg.make_trainer()
+    trainer = cfg.make_trainer(impl=IMPL)
     trainer.batch_size = BATCH
     state = trainer.init_state(jax.random.PRNGKey(0))
     x = jax.random.normal(jax.random.PRNGKey(1), (BATCH, cfg.ndim_x), jnp.float32)

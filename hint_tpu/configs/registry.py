@@ -137,11 +137,11 @@ class Config:
             )
         raise ValueError(f"unknown model_type {self.model_type!r}")
 
-    def make_trainer(self, mesh=None, compute_dtype: str = "float32"):
+    def make_trainer(self, mesh=None, compute_dtype: str = "float32", impl: str = "levelwise"):
         from hint_tpu.train.trainer import Trainer
 
         return Trainer(
-            model=self.build_model(compute_dtype=compute_dtype),
+            model=self.build_model(compute_dtype=compute_dtype, impl=impl),
             kind=self.kind,
             lr_init=self.lr_init,
             pre_low_lr=self.pre_low_lr,

@@ -118,7 +118,7 @@ class HierarchicalAffineCoupling(Bijector):
     min_split_size: int = 2
     reshuffle: bool = False
     compute_dtype: str = "float32"
-    impl: str = "levelwise"  # "levelwise" | "reference"
+    impl: str = "levelwise"  # "levelwise" | "reference" | "pallas"
 
     # -- static structure ---------------------------------------------------
 
@@ -235,6 +235,20 @@ class HierarchicalAffineCoupling(Bijector):
             xs = jnp.concatenate([xs, jnp.broadcast_to(cond[None], (n,) + cond.shape)], axis=-1)
         xs = jnp.concatenate([xs, xs], axis=0)  # (2n, B, in_max + cond)
 
+        mask = jnp.asarray(lv.out_mask)
+        if self.impl == "pallas":
+            # fused VMEM-resident 3-layer stack (hint_tpu.ops.pallas_hac);
+            # interpret-mode off the TPU so tests stay runnable anywhere
+            from hint_tpu.ops.pallas_hac import fused_level_mlp, st_from_fused
+
+            interpret = jax.default_backend() not in ("tpu",)
+            mask2 = jnp.concatenate([mask, mask], axis=0)  # one mask per stacked subnet
+            out = fused_level_mlp(
+                xs, p["w0"], p["b0"], p["w1"], p["b1"], p["w2"], p["b2"], mask2,
+                interpret=interpret,
+            )
+            return st_from_fused(out)
+
         cdt = jnp.dtype(self.compute_dtype)
         prec = jax.lax.Precision.HIGHEST if cdt == jnp.float32 else jax.lax.Precision.DEFAULT
 
@@ -247,7 +261,6 @@ class HierarchicalAffineCoupling(Bijector):
         h = jax.nn.relu(mm(xs, p["w0"]) + p["b0"][:, None, :])
         h = jax.nn.relu(mm(h, p["w1"]) + p["b1"][:, None, :])
         h = mm(h, p["w2"]) + p["b2"][:, None, :]
-        mask = jnp.asarray(lv.out_mask)
         return h[:n] * mask, h[n:] * mask
 
     def _couple_level(self, params: Params, lv: _Level, x: Array, cond, rev: bool):

@@ -92,7 +92,10 @@ class Trainer:
         # thousands of tiny ops — compiling it (minutes of XLA time) or
         # dispatching it op-by-op to the TPU both waste time; eager CPU takes
         # seconds and the params transfer once.
-        cpu = jax.devices("cpu")[0]
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:  # platform without a CPU backend (e.g. axon plugin)
+            cpu = jax.devices()[0]
         with jax.default_device(cpu):
             k_init, k_scale = jax.random.split(key)
             params = self.model.init(k_init)
