@@ -26,6 +26,8 @@ def _add_common(p):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
                    help="matmul compute dtype (params stay float32)")
+    p.add_argument("--impl", default="levelwise", choices=["levelwise", "reference", "pallas"],
+                   help="HAC engine (pallas = experimental fused kernel)")
 
 
 def cmd_list(args):
@@ -44,12 +46,32 @@ def cmd_train(args):
     from hint_tpu.train import checkpoint
 
     cfg = get_config(args.config)
+    overrides = {}
     if args.epochs:
-        cfg = type(cfg)(**{**cfg.__dict__, "n_epochs": args.epochs})
+        overrides["n_epochs"] = args.epochs
+    if args.n_train:
+        overrides["n_train"] = args.n_train
+    if args.n_test:
+        overrides["n_test"] = args.n_test
+    if args.batch_size:
+        overrides["batch_size"] = args.batch_size
+    if args.max_batches:
+        overrides["max_batches_per_epoch"] = args.max_batches
+    if overrides:
+        cfg = type(cfg)(**{**cfg.__dict__, **overrides})
     print(f"config: {cfg.name} (suffix {cfg.suffix})")
     (x_tr, y_tr), (x_te, y_te) = cfg.load_data(args.cache_dir, args.uci_root)
-    trainer = cfg.make_trainer(compute_dtype=args.dtype)
-    monitor = ConsoleMonitor()
+    trainer = cfg.make_trainer(compute_dtype=args.dtype, impl=args.impl)
+    if args.plot_dir:
+        from hint_tpu.monitor import make_monitor
+
+        monitor = make_monitor(
+            interactive=True, plot_dir=args.plot_dir,
+            data_model=cfg.data_model() if not cfg.is_uci else None,
+            y_target=cfg.vis_y_target if cfg.is_conditional else None,
+        )
+    else:
+        monitor = ConsoleMonitor()
     state_probe = trainer.init_state(jax.random.PRNGKey(args.seed))
     print(f"\nModel {cfg.suffix} has {trainer.n_trainable_params(state_probe):,} trainable parameters.\n")
 
@@ -87,7 +109,7 @@ def cmd_evaluate(args):
 
     cfg = get_config(args.config)
     (_, _), (x_te, y_te) = cfg.load_data(args.cache_dir, args.uci_root)
-    trainer = cfg.make_trainer(compute_dtype=args.dtype)
+    trainer = cfg.make_trainer(compute_dtype=args.dtype, impl=args.impl)
     template = trainer.init_state(jax.random.PRNGKey(args.seed))
     state = checkpoint.load_npz(args.ckpt, template)
     losses = trainer.eval_epoch(
@@ -114,7 +136,7 @@ def cmd_sample(args):
     from hint_tpu.train import checkpoint
 
     cfg = get_config(args.config)
-    trainer = cfg.make_trainer(compute_dtype=args.dtype)
+    trainer = cfg.make_trainer(compute_dtype=args.dtype, impl=args.impl)
     template = trainer.init_state(jax.random.PRNGKey(args.seed))
     state = checkpoint.load_npz(args.ckpt, template)
     y_target = None
@@ -179,8 +201,13 @@ def main(argv=None):
     p = sub.add_parser("train", help="train a config")
     _add_common(p)
     p.add_argument("--epochs", type=int, default=0, help="override n_epochs")
+    p.add_argument("--n-train", type=int, default=0, help="override n_train (toy data)")
+    p.add_argument("--n-test", type=int, default=0, help="override n_test (toy data)")
+    p.add_argument("--batch-size", type=int, default=0, help="override batch_size")
+    p.add_argument("--max-batches", type=int, default=0, help="override max_batches_per_epoch")
     p.add_argument("--save", default="", help="checkpoint path (.npz)")
     p.add_argument("--save-every", type=int, default=10)
+    p.add_argument("--plot-dir", default="", help="write live loss/latent/sample PNGs here")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("evaluate", help="evaluate a checkpoint")

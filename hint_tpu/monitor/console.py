@@ -19,6 +19,8 @@ DEFAULT_LOSS_LABELS = ["-log p(z)", "-log |det(J)|"]  # train_unconditional.py:1
 
 
 class NullMonitor:
+    wants_plots = False  # FileMonitor opts in; trainers skip plot work otherwise
+
     def update_losses(self, losses, lr=None):
         pass
 
@@ -72,14 +74,20 @@ class ConsoleMonitor(NullMonitor):
         self._print(f"\nTraining took {minutes:f} minutes\n")
 
 
-def make_monitor(interactive: bool = False, loss_labels=None, plot_dir: Optional[str] = None):
+def make_monitor(
+    interactive: bool = False,
+    loss_labels=None,
+    plot_dir: Optional[str] = None,
+    data_model=None,
+    y_target=None,
+):
     """Best available monitor: file-plotting monitor if matplotlib is usable
     and a plot_dir is given, else console (cf. monitoring.py:141-146)."""
     if interactive and plot_dir is not None:
         try:
             from hint_tpu.monitor.plots import FileMonitor
 
-            return FileMonitor(plot_dir, loss_labels)
+            return FileMonitor(plot_dir, loss_labels, data_model=data_model, y_target=y_target)
         except Exception:
             pass
     return ConsoleMonitor(loss_labels)

@@ -82,6 +82,8 @@ class FileMonitor(ConsoleMonitor):
     monitoring.py:77-90), latent.png (2-D scatter of the first two z dims,
     :92-99), samples.png (data-model plot, :100-104)."""
 
+    wants_plots = True
+
     def __init__(
         self,
         plot_dir: str,

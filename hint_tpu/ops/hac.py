@@ -236,7 +236,12 @@ class HierarchicalAffineCoupling(Bijector):
         xs = jnp.concatenate([xs, xs], axis=0)  # (2n, B, in_max + cond)
 
         mask = jnp.asarray(lv.out_mask)
-        if self.impl == "pallas":
+        # Fused kernel only where it wins: wide hiddens amortize the kernel
+        # launch and fill MXU lanes; deep levels (many tiny subnets) are
+        # better served by XLA's batched einsum (measured on v5e: an
+        # all-pallas tree is 5x slower than all-XLA; hybrid keeps the
+        # HBM-traffic win on the wide levels without the tiny-level tax).
+        if self.impl == "pallas" and lv.hidden >= 128 and len(lv.nodes) <= 8:
             # fused VMEM-resident 3-layer stack (hint_tpu.ops.pallas_hac);
             # interpret-mode off the TPU so tests stay runnable anywhere
             from hint_tpu.ops.pallas_hac import fused_level_mlp, st_from_fused

@@ -270,6 +270,8 @@ class Trainer:
             state, train_losses = self.train_epoch(state, x_tr, y_tr, k_tr, epoch, monitor)
             test_losses = self.eval_epoch(state.params, x_te, y_te, k_te, full_batch_test)
             state = state._replace(epoch=state.epoch + 1)
+            if monitor is not None and getattr(monitor, "wants_plots", False):
+                self._push_plots(state.params, x_te, y_te, key, monitor)
             if monitor is not None:
                 lr = float(
                     lr_schedule(epoch, self.lr_init, self.pre_low_lr, self.final_decay, self.n_epochs)
@@ -281,3 +283,30 @@ class Trainer:
         if monitor is not None:
             monitor.finish(minutes)
         return state, float(test_losses.sum())
+
+    def _push_plots(self, params, x_te, y_te, key, monitor, n_vis: int = 512):
+        """Per-epoch latent scatter + inverse-sample plot (the reference's
+        test-pass visualization, train_unconditional.py:147-154)."""
+        try:
+            k_z, k_s = jax.random.split(key)
+            xb = x_te[:n_vis]
+            if self.kind == UNCONDITIONAL:
+                z, _ = self.model.forward(params, xb)
+                x_samp, _ = self.model.inverse(
+                    params, jax.random.normal(k_z, (64, self.model.dim), xb.dtype)
+                )
+            elif self.kind == CONDITIONAL_CINN:
+                yb = y_te[:n_vis]
+                z, _ = self.model.forward(params, xb, yb)
+                x_samp, _ = self.model.inverse(
+                    params, jax.random.normal(k_z, (64, self.model.dim), xb.dtype), yb[:64]
+                )
+            else:
+                yb = y_te[:n_vis]
+                _, z, _, _ = self.model.forward(params, yb, xb)
+                from hint_tpu.evaluation.sampling import sample_conditional_hint
+
+                x_samp = sample_conditional_hint(self.model, params, yb[:64], k_z, k_s)
+            monitor.update_plots(np.asarray(z[:, :2]), np.asarray(x_samp))
+        except Exception:  # visualization must never kill training
+            pass

@@ -1,10 +1,19 @@
 """Unit tests for core bijectors: round-trip, log-det vs autodiff Jacobian,
-orthogonality, trainable masks (test strategy per SURVEY.md §4)."""
+orthogonality, trainable masks (test strategy per SURVEY.md §4).
+
+Set HINT_TPU_FULL_TESTS=1 for the exhaustive parameter matrix; the default
+runs a reduced-but-covering subset (this box has one CPU core and each
+combo pays a fresh trace+compile).
+"""
+
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+FULL = bool(os.environ.get("HINT_TPU_FULL_TESTS"))
 
 from hint_tpu.ops.coupling import AffineCoupling, ExternalAffineCoupling
 from hint_tpu.ops.hac import HierarchicalAffineCoupling
@@ -87,7 +96,7 @@ def test_householder_fixed_mask_frozen():
 # ---------------------------------------------------------------- couplings
 
 
-@pytest.mark.parametrize("dim", [2, 5, 10])
+@pytest.mark.parametrize("dim", [2, 5, 10] if FULL else [2, 10])
 def test_affine_coupling(dim):
     bij = AffineCoupling(dim=dim, hidden=16)
     x = jax.random.normal(jax.random.PRNGKey(7), (6, dim))
@@ -115,7 +124,10 @@ def test_external_affine_coupling():
 # ---------------------------------------------------------------- HAC
 
 
-@pytest.mark.parametrize("dim,max_splits", [(4, -1), (7, -1), (10, 2), (12, 0), (11, 1)])
+@pytest.mark.parametrize(
+    "dim,max_splits",
+    [(4, -1), (7, -1), (10, 2), (12, 0), (11, 1)] if FULL else [(4, -1), (10, 2), (11, 1)],
+)
 @pytest.mark.parametrize("impl", ["reference", "levelwise"])
 def test_hac_roundtrip_logdet(dim, max_splits, impl):
     bij = HierarchicalAffineCoupling(
@@ -125,9 +137,17 @@ def test_hac_roundtrip_logdet(dim, max_splits, impl):
     check_bijector(bij, x)
 
 
-@pytest.mark.parametrize("dim", [6, 11, 20, 25])
-@pytest.mark.parametrize("reshuffle", [False, True])
-@pytest.mark.parametrize("cond_dim", [0, 3])
+_PARITY_COMBOS_FULL = [
+    (dim, rs, cd) for dim in (6, 11, 20, 25) for rs in (False, True) for cd in (0, 3)
+]
+_PARITY_COMBOS_FAST = [
+    (6, False, 0), (11, True, 0), (20, False, 3), (25, True, 0), (11, False, 3)
+]
+
+
+@pytest.mark.parametrize(
+    "dim,reshuffle,cond_dim", _PARITY_COMBOS_FULL if FULL else _PARITY_COMBOS_FAST
+)
 def test_hac_levelwise_matches_reference(dim, reshuffle, cond_dim):
     """The levelwise TPU engine must be numerically identical to the
     reference-order recursion (same params pytree)."""

@@ -23,7 +23,7 @@ def _pair(dim, **kw):
 
 @pytest.mark.parametrize("dim,max_splits", [(6, -1), (11, -1), (20, 2)])
 def test_pallas_matches_levelwise_forward(dim, max_splits):
-    xla, pal = _pair(dim, c_internal=(16,), max_splits=max_splits)
+    xla, pal = _pair(dim, c_internal=(128,), max_splits=max_splits)
     params = xla.init(jax.random.PRNGKey(0))
     x = jax.random.normal(jax.random.PRNGKey(1), (9, dim))
     z1, ld1 = xla.forward(params, x)
@@ -33,7 +33,7 @@ def test_pallas_matches_levelwise_forward(dim, max_splits):
 
 
 def test_pallas_matches_levelwise_inverse():
-    xla, pal = _pair(10, c_internal=(12,))
+    xla, pal = _pair(10, c_internal=(128,))
     params = xla.init(jax.random.PRNGKey(2))
     z = jax.random.normal(jax.random.PRNGKey(3), (7, 10))
     x1, ld1 = xla.inverse(params, z)
@@ -43,7 +43,7 @@ def test_pallas_matches_levelwise_inverse():
 
 
 def test_pallas_roundtrip():
-    _, pal = _pair(12, c_internal=(16,))
+    _, pal = _pair(12, c_internal=(128,))
     params = pal.init(jax.random.PRNGKey(4))
     x = jax.random.normal(jax.random.PRNGKey(5), (5, 12))
     z, ld = pal.forward(params, x)
@@ -54,7 +54,7 @@ def test_pallas_roundtrip():
 
 def test_pallas_gradients_match():
     """custom_vjp backward (XLA remat) must equal the XLA engine's grads."""
-    xla, pal = _pair(8, c_internal=(10,))
+    xla, pal = _pair(8, c_internal=(128,))
     params = xla.init(jax.random.PRNGKey(6))
     x = jax.random.normal(jax.random.PRNGKey(7), (6, 8))
 
