@@ -81,14 +81,22 @@ def cmd_train(args):
             if (epoch + 1) % args.save_every == 0 or epoch + 1 == cfg.n_epochs:
                 checkpoint.save_npz(args.save, state)
 
-    state, final = trainer.fit(
-        jax.random.PRNGKey(args.seed),
-        (jnp.asarray(x_tr), jnp.asarray(y_tr) if cfg.is_conditional else None),
-        (jnp.asarray(x_te), jnp.asarray(y_te) if cfg.is_conditional else None),
-        monitor=monitor,
-        full_batch_test=cfg.is_uci,
-        checkpoint_fn=ckpt_fn,
-    )
+    import contextlib
+
+    prof = contextlib.nullcontext()
+    if args.profile_dir:
+        from hint_tpu.utils import profile_trace
+
+        prof = profile_trace(args.profile_dir)
+    with prof:
+        state, final = trainer.fit(
+            jax.random.PRNGKey(args.seed),
+            (jnp.asarray(x_tr), jnp.asarray(y_tr) if cfg.is_conditional else None),
+            (jnp.asarray(x_te), jnp.asarray(y_te) if cfg.is_conditional else None),
+            monitor=monitor,
+            full_batch_test=cfg.is_uci,
+            checkpoint_fn=ckpt_fn,
+        )
     print(f"final test loss: {final:.6f}")
     if cfg.is_uci:
         d = cfg.ndim_x
@@ -208,6 +216,7 @@ def main(argv=None):
     p.add_argument("--save", default="", help="checkpoint path (.npz)")
     p.add_argument("--save-every", type=int, default=10)
     p.add_argument("--plot-dir", default="", help="write live loss/latent/sample PNGs here")
+    p.add_argument("--profile-dir", default="", help="capture a jax.profiler trace here")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("evaluate", help="evaluate a checkpoint")

@@ -48,31 +48,43 @@ def ensure_ccw(poly: np.ndarray) -> np.ndarray:
 
 def convex_intersection(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
     """Sutherland–Hodgman: clip ``subject`` by convex ``clip`` (both CCW,
-    no closing duplicate). Returns the intersection ring (possibly empty)."""
+    no closing duplicate). Returns the intersection ring (possibly empty).
+
+    The inner pass is vectorized over the subject vertices (one numpy sweep
+    per clip edge) — the naive per-vertex Python loop made toy-data
+    generation the end-to-end bottleneck on 1-core hosts.
+    """
     clip = ensure_ccw(clip)
-    output = list(ensure_ccw(subject))
+    pts = ensure_ccw(np.asarray(subject, dtype=np.float64))
     n = len(clip)
     for i in range(n):
-        a, b = clip[i], clip[(i + 1) % n]
-        edge = b - a
-        if not output:
+        if len(pts) == 0:
             break
-        input_pts = output
-        output = []
-        prev = input_pts[-1]
-        prev_in = edge[0] * (prev[1] - a[1]) - edge[1] * (prev[0] - a[0]) >= 0
-        for cur in input_pts:
-            cur_in = edge[0] * (cur[1] - a[1]) - edge[1] * (cur[0] - a[0]) >= 0
-            if cur_in != prev_in:
-                # segment crosses the clip line: add intersection
-                d = cur - prev
-                denom = edge[0] * d[1] - edge[1] * d[0]
-                t = (edge[0] * (a[1] - prev[1]) - edge[1] * (a[0] - prev[0])) / denom
-                output.append(prev + t * d)
-            if cur_in:
-                output.append(cur)
-            prev, prev_in = cur, cur_in
-    return np.array(output) if output else np.zeros((0, 2))
+        a, b = clip[i], clip[(i + 1) % n]
+        ex, ey = b[0] - a[0], b[1] - a[1]
+        # signed side of every vertex w.r.t. the clip line (>= 0 is inside)
+        side = ex * (pts[:, 1] - a[1]) - ey * (pts[:, 0] - a[0])
+        inside = side >= 0
+        if inside.all():  # edge cuts nothing — the common case for arcs
+            continue
+        if not inside.any():
+            pts = pts[:0]
+            break
+        prev = np.concatenate([pts[-1:], pts[:-1]], axis=0)
+        prev_in = np.concatenate([inside[-1:], inside[:-1]])
+        crossing = inside != prev_in
+        # intersection of each crossing segment prev->cur with the clip line
+        d = pts - prev
+        denom = ex * d[:, 1] - ey * d[:, 0]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (ex * (a[1] - prev[:, 1]) - ey * (a[0] - prev[:, 0])) / denom
+        inter = prev + t[:, None] * d
+        # each slot i emits: intersection (order 2i) then vertex (order 2i+1)
+        order = np.concatenate([2 * np.arange(len(pts))[crossing],
+                                2 * np.arange(len(pts))[inside] + 1])
+        cand = np.concatenate([inter[crossing], pts[inside]], axis=0)
+        pts = cand[np.argsort(order, kind="stable")]
+    return np.asarray(pts) if len(pts) else np.zeros((0, 2))
 
 
 def _seg_intersections_param(p0, p1, q0, q1):
