@@ -194,8 +194,12 @@ def plot_model_unconditional(
         _curve_axes(axes[i], limits)
         _overlay_fit(axes[i], data_model, points[i].astype(np.float32))
     corr = np.corrcoef(x.T)
-    corr_true = np.load(os.path.join(cache_dir, f"{data_model.name}_corr.npy"))
-    axes[4].imshow(np.abs(corr - corr_true), cmap="Greys", vmin=0, vmax=1, interpolation="nearest")
+    f_corr = os.path.join(cache_dir, f"{data_model.name}_corr.npy")
+    if os.path.exists(f_corr):  # |corr - GT| when the GT file exists
+        corr = np.abs(corr - np.load(f_corr))
+        axes[4].imshow(corr, cmap="Greys", vmin=0, vmax=1, interpolation="nearest")
+    else:
+        axes[4].imshow(corr, cmap="RdBu", interpolation="nearest")
     axes[4].set_xticks([]); axes[4].set_yticks([])
     fig.subplots_adjust(left=0.01, bottom=0.01, right=0.99, top=0.99, wspace=0.02, hspace=0.01)
     path = _save(fig, out_dir, f"{cfg.suffix}_example")
