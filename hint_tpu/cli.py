@@ -88,6 +88,12 @@ def cmd_train(args):
         from hint_tpu.utils import profile_trace
 
         prof = profile_trace(args.profile_dir)
+    resume_state = None
+    if args.resume:
+        template = trainer.init_state(jax.random.PRNGKey(args.seed))
+        resume_state = checkpoint.load_npz(args.resume, template)
+        print(f"resuming from {args.resume} at epoch {int(resume_state.epoch)}")
+
     with prof:
         state, final = trainer.fit(
             jax.random.PRNGKey(args.seed),
@@ -96,6 +102,7 @@ def cmd_train(args):
             monitor=monitor,
             full_batch_test=cfg.is_uci,
             checkpoint_fn=ckpt_fn,
+            resume_state=resume_state,
         )
     print(f"final test loss: {final:.6f}")
     if cfg.is_uci:
@@ -217,6 +224,7 @@ def main(argv=None):
     p.add_argument("--save-every", type=int, default=10)
     p.add_argument("--plot-dir", default="", help="write live loss/latent/sample PNGs here")
     p.add_argument("--profile-dir", default="", help="capture a jax.profiler trace here")
+    p.add_argument("--resume", default="", help="resume exactly from a .npz checkpoint")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("evaluate", help="evaluate a checkpoint")

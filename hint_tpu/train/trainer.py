@@ -256,16 +256,34 @@ class Trainer:
         monitor=None,
         full_batch_test: bool = False,
         checkpoint_fn=None,
+        resume_state: Optional[TrainState] = None,
     ) -> Tuple[TrainState, float]:
         """Full training run; returns (state, final summed test loss) — the
-        reference's ``main(c)`` contract (train_unconditional.py:161-210)."""
+        reference's ``main(c)`` contract (train_unconditional.py:161-210).
+
+        ``resume_state``: continue exactly from a loaded checkpoint (params +
+        Adam moments + epoch) — capability the reference lacks (its
+        checkpointing is terminal, SURVEY.md §5).
+        """
         x_tr, y_tr = train_data
         x_te, y_te = test_data
         k_state, key = jax.random.split(key)
-        state = self.init_state(k_state)
+        if resume_state is not None:
+            state = resume_state
+            start_epoch = int(state.epoch)
+            # replay the key stream so epoch e uses the same keys as a
+            # non-resumed run
+            for _ in range(start_epoch):
+                key, _, _ = jax.random.split(key, 3)
+        else:
+            state = self.init_state(k_state)
+            start_epoch = 0
         t_start = time.time()
         test_losses = np.zeros(2)
-        for epoch in range(self.n_epochs):
+        if start_epoch >= self.n_epochs:  # resumed a finished run: just eval
+            key, k_te = jax.random.split(key)
+            test_losses = self.eval_epoch(state.params, x_te, y_te, k_te, full_batch_test)
+        for epoch in range(start_epoch, self.n_epochs):
             key, k_tr, k_te = jax.random.split(key, 3)
             state, train_losses = self.train_epoch(state, x_tr, y_tr, k_tr, epoch, monitor)
             test_losses = self.eval_epoch(state.params, x_te, y_te, k_te, full_batch_test)
