@@ -202,7 +202,8 @@ def _fit_lens_restarts(points: jnp.ndarray, angle: jnp.ndarray, n_steps: int = L
 def _select_restart(params: np.ndarray, losses: np.ndarray) -> np.ndarray:
     """Reference winner: restarts run in order with an early break once a
     loss < 0.005 appears; the winner is the min over the evaluated prefix
-    (best_shape_fit.py:122-129)."""
+    (best_shape_fit.py:122-129). Diverged (non-finite) restarts never win."""
+    losses = np.where(np.isfinite(losses), losses, np.inf)
     below = np.nonzero(losses < EARLY_BREAK_LOSS)[0]
     end = below[0] + 1 if len(below) else len(losses)
     k = int(np.argmin(losses[:end]))

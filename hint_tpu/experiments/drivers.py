@@ -81,21 +81,25 @@ def _score_shapes(data_model, sample_flat: np.ndarray, family: str) -> np.ndarra
     coeffs = data_model.unflatten_coeffs(sample_flat)
     curves = data_model.trace_fourier_curves(coeffs).astype(np.float32)
     dense = data_model.trace_fourier_curves(coeffs, n_points=1000)
+    # drop curves an undertrained flow mapped to non-finite/degenerate coords
+    # (inverse through stacked exp-couplings can overflow for outlier z)
+    ok = np.isfinite(curves).all(axis=(1, 2)) & (np.abs(curves).max(axis=(1, 2)) < 1e3)
+    n_dropped = int((~ok).sum())
+    if n_dropped:
+        print(f"shape scoring: dropped {n_dropped}/{len(ok)} non-finite/degenerate curves")
+    curves, dense = curves[ok], dense[ok]
     if family == "lens":
         params = shape_fit.fit_lens_shapes_batch(curves)
-        per = [
-            shape_fit.iou_and_dice_lens(params[j], curves[j])
-            + shape_fit.hausdorff_lens(params[j], dense[j])
-            for j in range(len(curves))
-        ]
+        iou_dice, haus = shape_fit.iou_and_dice_lens, shape_fit.hausdorff_lens
     else:
         params = shape_fit.fit_plus_shapes_batch(curves)
-        per = [
-            shape_fit.iou_and_dice_plus(params[j], curves[j])
-            + shape_fit.hausdorff_plus(params[j], dense[j])
-            for j in range(len(curves))
-        ]
-    arr = np.asarray(per)  # (B, 4): iou, dice, max_h, avg_h
+        iou_dice, haus = shape_fit.iou_and_dice_plus, shape_fit.hausdorff_plus
+    per = []
+    for j in range(len(curves)):
+        if not np.isfinite(params[j]).all():
+            continue  # all restarts diverged for this curve
+        per.append(iou_dice(params[j], curves[j]) + haus(params[j], dense[j]))
+    arr = np.asarray(per)  # (B_ok, 4): iou, dice, max_h, avg_h
     return arr.mean(axis=0)
 
 
