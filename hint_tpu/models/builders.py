@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
-from hint_tpu.models.flow import LANE_X, LANE_Y, LANE_YX, Flow, TwoLaneFlow
+from hint_tpu.models.flow import LANE_X, LANE_Y, LANE_YX, Flow, ScannedRepeat, TwoLaneFlow
 from hint_tpu.ops.coupling import AffineCoupling, ExternalAffineCoupling
 from hint_tpu.ops.hac import HierarchicalAffineCoupling
 from hint_tpu.ops.householder import HouseholderPerm
@@ -35,11 +35,18 @@ def inn(
     perm_fixed: bool = True,
     clamp: float = DEFAULT_CLAMP,
     compute_dtype: str = "float32",
+    scan_blocks: bool = False,
 ) -> Flow:
+    perm = HouseholderPerm(dim=dim, n_reflections=dim, fixed=perm_fixed)
+    coup = AffineCoupling(dim=dim, hidden=hidden, clamp=clamp, compute_dtype=compute_dtype)
+    if scan_blocks and n_blocks > 1:
+        return Flow(
+            bijectors=(ScannedRepeat(unit=(perm, coup), n=n_blocks, dim=dim),), dim=dim
+        )
     ops = []
     for _ in range(n_blocks):
-        ops.append(HouseholderPerm(dim=dim, n_reflections=dim, fixed=perm_fixed))
-        ops.append(AffineCoupling(dim=dim, hidden=hidden, clamp=clamp, compute_dtype=compute_dtype))
+        ops.append(perm)
+        ops.append(coup)
     return Flow(bijectors=tuple(ops), dim=dim)
 
 
@@ -54,23 +61,30 @@ def hint(
     clamp: float = DEFAULT_CLAMP,
     compute_dtype: str = "float32",
     impl: str = "levelwise",
+    scan_blocks: bool = False,
 ) -> Flow:
+    hac = HierarchicalAffineCoupling(
+        dim=dim,
+        c_internal=tuple(c_internal),
+        clamp=clamp,
+        max_splits=max_splits,
+        min_split_size=min_split_size,
+        reshuffle=reshuffle,
+        compute_dtype=compute_dtype,
+        impl=impl,
+    )
+    perm = HouseholderPerm(dim=dim, n_reflections=dim, fixed=perm_fixed)
+    if scan_blocks and n_blocks > 2:
+        # block 0 alone, then (perm, hac) x (n-1) under one lax.scan
+        return Flow(
+            bijectors=(hac, ScannedRepeat(unit=(perm, hac), n=n_blocks - 1, dim=dim)),
+            dim=dim,
+        )
     ops = []
     for i in range(n_blocks):
         if i > 0:  # perm between blocks only (unconditional_hint_4_full.py:60-65)
-            ops.append(HouseholderPerm(dim=dim, n_reflections=dim, fixed=perm_fixed))
-        ops.append(
-            HierarchicalAffineCoupling(
-                dim=dim,
-                c_internal=tuple(c_internal),
-                clamp=clamp,
-                max_splits=max_splits,
-                min_split_size=min_split_size,
-                reshuffle=reshuffle,
-                compute_dtype=compute_dtype,
-                impl=impl,
-            )
-        )
+            ops.append(perm)
+        ops.append(hac)
     return Flow(bijectors=tuple(ops), dim=dim)
 
 

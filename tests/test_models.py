@@ -120,3 +120,39 @@ def test_flow_jit_compiles_once():
     z1, _ = fwd(params, x)
     z2, _ = fwd(params, x)
     np.testing.assert_allclose(np.asarray(z1), np.asarray(z2))
+
+
+def test_scanned_repeat_matches_unrolled():
+    """lax.scan over stacked block params == trace-time unrolled chain."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hint_tpu.models import builders
+
+    dim, n_blocks = 10, 4
+    scanned = builders.hint(dim, n_blocks, (12, 8), perm_fixed=True, scan_blocks=True)
+    unrolled = builders.hint(dim, n_blocks, (12, 8), perm_fixed=True, scan_blocks=False)
+
+    p_scan = small_init(scanned)  # O(1) activations keep 1e-5 comparable
+    # unstack the scanned params into the unrolled op layout:
+    # unrolled ops: [hac, perm, hac, perm, hac, perm, hac]
+    rep = p_scan["b1"]  # {b0: perm params, b1: hac params} stacked over n-1
+    p_unroll = {"b0": p_scan["b0"]}
+    for r in range(n_blocks - 1):
+        p_unroll[f"b{2*r+1}"] = jax.tree.map(lambda a: a[r], rep["b0"])
+        p_unroll[f"b{2*r+2}"] = jax.tree.map(lambda a: a[r], rep["b1"])
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, dim))
+    z1, ld1 = scanned.forward(p_scan, x)
+    z2, ld2 = unrolled.forward(p_unroll, x)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld1), np.asarray(ld2), atol=1e-5)
+
+    x1, ldi1 = scanned.inverse(p_scan, z1)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ldi1), -np.asarray(ld1), atol=1e-5)
+
+    # masks: fixed perm Q frozen inside the scan stack too
+    mask = scanned.trainable_mask(p_scan)
+    assert mask["b1"]["b0"] == {"q_fixed": False}
