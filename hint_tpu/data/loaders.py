@@ -25,10 +25,27 @@ Arrays = Tuple[np.ndarray, Optional[np.ndarray]]
 
 
 def prepare_toy_data(
-    model, n_train: int, n_test: int, cache_dir: str = "data"
+    model, n_train: int, n_test: int, cache_dir: str = "data", engine: str = "auto"
 ) -> Tuple[Arrays, Arrays]:
-    """Returns ((x_train, y_train), (x_test, y_test)) float32 numpy arrays."""
+    """Returns ((x_train, y_train), (x_test, y_test)) float32 numpy arrays.
+
+    engine: "auto" (native C++ generator when it builds, else numpy),
+    "native", or "numpy". The native generator is 15-65x faster per sample
+    (hint_tpu/native/); it matches the numpy pipeline's geometry exactly and
+    its distribution statistically (its RNG stream differs).
+    """
     os.makedirs(cache_dir, exist_ok=True)
+
+    def generate(n: int, seed: int):
+        if engine in ("auto", "native"):
+            try:
+                from hint_tpu.data import native
+
+                return native.sample_joint(model.name, n, seed=seed)
+            except Exception:
+                if engine == "native":
+                    raise
+        return model.sample_joint(n)
 
     def load_or_generate(split: str, n: int):
         fx = os.path.join(cache_dir, f"{model.name}_x_{split}.npy")
@@ -43,7 +60,7 @@ def prepare_toy_data(
                 f'Not enough {split} data for model "{model.name}" found, '
                 f"generating {n} new samples..."
             )
-            x, y = model.sample_joint(n)
+            x, y = generate(n, seed=0 if split == "train" else 1)
             np.save(fx, x)
             np.save(fy, y)
         return x.astype(np.float32), y.astype(np.float32)

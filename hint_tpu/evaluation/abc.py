@@ -35,9 +35,18 @@ ArrayPair = Tuple[np.ndarray, np.ndarray]
 
 
 def _sample_chunk(args):
-    model_factory, n, seed = args
-    np.random.seed(seed)
+    model_factory, n, seed, engine = args
     model = model_factory()
+    if engine in ("auto", "native"):
+        try:
+            from hint_tpu.data import native
+
+            # native sample_joint = prior + forward process in one pass
+            return native.sample_joint(model.name, n, seed=seed)
+        except Exception:
+            if engine == "native":
+                raise
+    np.random.seed(seed)
     x = model.sample_prior(n).astype(np.float32)
     y = model.forward_process(x).astype(np.float32)
     return x, y
@@ -50,11 +59,14 @@ def prepare_samples(
     chunk: int = 10_000,
     n_workers: Optional[int] = None,
     seed: int = 0,
+    engine: str = "auto",
 ) -> ArrayPair:
     """Draw ``n_total`` prior samples + observations in parallel and cache to
     ``abc/{name}_{x,y}_huge.npy`` (rejection_sampling.py:76-85).
 
     ``model_factory`` must be picklable (the class itself works).
+    ``engine="auto"`` uses the C++ generator (hint_tpu/native) when it
+    builds — 15-65x faster per sample than the numpy pipeline.
     """
     import multiprocessing as mp
 
@@ -66,8 +78,15 @@ def prepare_samples(
         if x.shape[0] >= n_total:
             return np.load(fx, mmap_mode="r"), np.load(fy, mmap_mode="r")
     os.makedirs(out_dir, exist_ok=True)
+    if engine in ("auto", "native"):  # build once in the parent, not per fork
+        try:
+            from hint_tpu.data import native
+
+            native.load()
+        except Exception:
+            pass
     n_chunks = max(1, n_total // chunk)
-    args = [(model_factory, chunk, seed + i) for i in range(n_chunks)]
+    args = [(model_factory, chunk, seed + i, engine) for i in range(n_chunks)]
     t0 = time.time()
     n_workers = n_workers or os.cpu_count()
     # fork, deliberately: spawn re-imports __main__ (hangs REPL/stdin callers
