@@ -166,6 +166,16 @@ def cmd_sample(args):
     print(f"saved {args.n} samples to {args.out}")
 
 
+def cmd_serve(args):
+    from hint_tpu.serve import InferenceService, serve
+
+    svc = InferenceService.from_checkpoint(args.config, args.ckpt, impl=args.impl,
+                                           compute_dtype=args.dtype)
+    print("warming up (compiling all buckets)...")
+    svc.warmup()
+    serve(svc, args.host, args.port)
+
+
 def cmd_experiment(args):
     from hint_tpu import experiments
     from hint_tpu.monitor import ConsoleMonitor
@@ -239,6 +249,13 @@ def main(argv=None):
     p.add_argument("--y-target", type=float, nargs="*", default=None)
     p.add_argument("--out", default="samples.npy")
     p.set_defaults(fn=cmd_sample)
+
+    p = sub.add_parser("serve", help="HTTP sample/log_prob service over a checkpoint")
+    _add_common(p)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser(
         "experiment",
