@@ -234,6 +234,10 @@ class Trainer:
             terms, _ = self.eval_fn(params, x, yb, k_noise)
             return np.asarray(jax.device_get(terms))
         perm, n_batches = self._batches(k_perm, x.shape[0], False)
+        if n_batches == 0:  # test set smaller than one batch: evaluate whole set
+            yb = y if y is not None else jnp.zeros((x.shape[0], 0), x.dtype)
+            terms, _ = self.eval_fn(params, x, yb, k_noise)
+            return np.asarray(jax.device_get(terms))
         x_sh, y_sh = x[perm], (y[perm] if y is not None else None)
         losses = []
         noise_keys = jax.random.split(k_noise, n_batches)

@@ -12,7 +12,7 @@ CFG = "lens_shape.unconditional_inn_1"
 
 @pytest.fixture()
 def tiny_config(monkeypatch):
-    small = {**rd.CONFIGS[CFG], "n_epochs": 2, "n_train": 600, "n_test": 200,
+    small = {**rd.CONFIGS[CFG], "n_epochs": 2, "n_train": 400, "n_test": 120,
              "max_batches_per_epoch": 2, "batch_size": 200}
     monkeypatch.setitem(rd.CONFIGS, CFG, small)
     return CFG
@@ -20,7 +20,7 @@ def tiny_config(monkeypatch):
 
 def test_train_and_evaluate_layout(tiny_config, tmp_path):
     out = experiments.train_and_evaluate(
-        [tiny_config], n_runs=1, n_eval_samples=8,
+        [tiny_config], n_runs=1, n_eval_samples=6,
         results_dir=str(tmp_path / "results"), cache_dir=str(tmp_path / "data"),
     )
     assert len(out[tiny_config]) == 1

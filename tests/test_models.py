@@ -130,7 +130,7 @@ def test_scanned_repeat_matches_unrolled():
 
     from hint_tpu.models import builders
 
-    dim, n_blocks = 10, 4
+    dim, n_blocks = 8, 3
     scanned = builders.hint(dim, n_blocks, (12, 8), perm_fixed=True, scan_blocks=True)
     unrolled = builders.hint(dim, n_blocks, (12, 8), perm_fixed=True, scan_blocks=False)
 

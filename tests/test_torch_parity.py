@@ -74,7 +74,7 @@ def _torch_hac_inverse(bij, params, node, y):
     return torch.cat([yu, yl], dim=1), j
 
 
-@pytest.mark.parametrize("dim", [7, 12, 20])
+@pytest.mark.parametrize("dim", [7, 20])
 def test_hac_forward_matches_torch(dim):
     bij = HierarchicalAffineCoupling(dim=dim, c_internal=(16, 8))
     params = bij.init(jax.random.PRNGKey(0))
