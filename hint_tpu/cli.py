@@ -127,15 +127,18 @@ def cmd_evaluate(args):
     trainer = cfg.make_trainer(compute_dtype=args.dtype, impl=args.impl)
     template = trainer.init_state(jax.random.PRNGKey(args.seed))
     state = checkpoint.load_npz(args.ckpt, template)
-    losses = trainer.eval_epoch(
+    losses, nll_x = trainer.eval_epoch(
         state.params,
         jnp.asarray(x_te),
         jnp.asarray(y_te) if cfg.is_conditional else None,
         jax.random.PRNGKey(args.seed + 1),
         full_batch=cfg.is_uci,
+        return_nll_x=True,
     )
     total = float(losses.sum())
     print(f"test loss: {total:.6f}  terms: {losses}")
+    if np.isfinite(nll_x):  # two-lane models: x-lane NLL (train_conditional.py:134)
+        print(f"x-lane NLL: {nll_x:.6f}")
     print(f"per-dim likelihood: {-total / cfg.ndim_x:.4f}")  # run_experiments.py:210
     if cfg.is_uci:
         print(f"log-likelihood: {-total - (cfg.ndim_x / 2) * np.log(2 * np.pi):.3f} nats")

@@ -163,14 +163,20 @@ def correlation_conditional(
         y = np.load(os.path.join(abc_dir, f"{data_model.name}_y_huge.npy"), mmap_mode="r")
         sample, _ = quantile_ABC(x, y, y_target, n=n)
     else:  # plus-shape: target-conditioned rejection (rejection_sampling.py:113-127)
-        samples = []
-        while len(samples) < n:
-            coords, label = data_model.generate_plus_shape(forward=True, target=y_target)
-            if np.sqrt(np.sum(np.square(y_target - label))) < tol:
-                samples.append(
-                    data_model.fourier_coeffs(coords, n_coeffs=data_model.n_parameters // 4)
-                )
-        sample = data_model.flatten_coeffs(np.stack(samples))
+        try:  # native rejection loop: ~0.06 ms/trial vs ~1 ms in Python
+            from hint_tpu.data import native
+
+            sample, _ = native.sample_plus_conditional(y_target, n, tol=tol)
+            assert len(sample) == n
+        except Exception:
+            samples = []
+            while len(samples) < n:
+                coords, label = data_model.generate_plus_shape(forward=True, target=y_target)
+                if np.sqrt(np.sum(np.square(y_target - label))) < tol:
+                    samples.append(
+                        data_model.fourier_coeffs(coords, n_coeffs=data_model.n_parameters // 4)
+                    )
+            sample = data_model.flatten_coeffs(np.stack(samples))
     np.save(f_sample, sample)
     corr = np.corrcoef(sample.T)
     np.save(os.path.join(out_dir, f"{data_model.name}_corr_conditional.npy"), corr)

@@ -311,12 +311,23 @@ void lens_one(Rng& rng, double* out_x, double* out_y) {
   out_y[1] = (traced[bj].x - traced[bi].x) + 0.05 * rng.n();
 }
 
-void plus_one(Rng& rng, double* out_x, double* out_y) {
-  // generate_plus_shape (fourier.py:162-196 / reference data.py:188-227)
+// target: nullptr for unconditional, else (center_x, center_y, angle, ratio)
+// — the target-conditioned widths/angle of data.py:196-203.
+void plus_one(Rng& rng, double* out_x, double* out_y, const double* target = nullptr) {
   double xlength = 3 + 2 * rng.u();
   double ylength = 3 + 2 * rng.u();
-  double xwidth = 0.5 + 1.5 * rng.u();
-  double ywidth = 0.5 + 1.5 * rng.u();
+  double xwidth, ywidth;
+  if (target == nullptr) {
+    xwidth = 0.5 + 1.5 * rng.u();
+    ywidth = 0.5 + 1.5 * rng.u();
+  } else {
+    double ratio = target[3];
+    if (ratio >= 1.0)
+      xwidth = ratio * 0.5 + (2.0 - ratio * 0.5) * rng.u();
+    else
+      xwidth = 0.5 + (2.0 * ratio - 0.5) * rng.u();
+    ywidth = xwidth / ratio;
+  }
   double xshift = -1.5 + 3 * rng.u();
   double yshift = -1.5 + 3 * rng.u();
   Rect xbar = {xshift - xlength / 2, -xwidth / 2, xshift + xlength / 2, xwidth / 2};
@@ -335,7 +346,7 @@ void plus_one(Rng& rng, double* out_x, double* out_y) {
     p.x -= mx;
     p.y -= my;
   }
-  double angle = 0.5 * kPi * rng.u();
+  double angle = (target == nullptr) ? 0.5 * kPi * rng.u() : target[2];
   double ca = std::cos(angle), sa = std::sin(angle);
   // rotation matrix [[c, s], [-s, c]], row-vector action (fourier.py:186-189)
   for (Pt& p : dense) {
@@ -407,6 +418,29 @@ void hint_plus_batch(uint64_t seed, int n, double* out_x /* n*100 */,
                      double* out_y /* n*4 */) {
   Rng rng(seed);
   for (int i = 0; i < n; ++i) plus_one(rng, out_x + 100 * i, out_y + 4 * i);
+}
+
+// Target-conditioned rejection sampling for the plus-shape conditional
+// ground truth (rejection_sampling.py:113-127): generate with the target's
+// angle/ratio, accept when ||label - target|| < tol. Returns the number of
+// accepted samples (== n unless max_trials was exhausted).
+int hint_plus_conditional_batch(uint64_t seed, int n, const double* target, double tol,
+                                long max_trials, double* out_x /* n*100 */,
+                                double* out_y /* n*4 */) {
+  Rng rng(seed);
+  double x[100], y[4];
+  int got = 0;
+  for (long trial = 0; trial < max_trials && got < n; ++trial) {
+    plus_one(rng, x, y, target);
+    double d2 = 0;
+    for (int k = 0; k < 4; ++k) d2 += (y[k] - target[k]) * (y[k] - target[k]);
+    if (std::sqrt(d2) < tol) {
+      std::copy(x, x + 100, out_x + 100 * got);
+      std::copy(y, y + 4, out_y + 4 * got);
+      ++got;
+    }
+  }
+  return got;
 }
 
 }  // extern "C"

@@ -225,21 +225,27 @@ class Trainer:
                 monitor.update_progress(b + 1, epoch + 1)
         return state, np.mean(jax.device_get(jnp.stack(losses)), axis=0)
 
-    def eval_epoch(self, params, x, y, key, full_batch: bool = False) -> np.ndarray:
+    def eval_epoch(
+        self, params, x, y, key, full_batch: bool = False, return_nll_x: bool = False
+    ):
         """Test pass. ``full_batch=True`` evaluates the whole set as one batch
-        (UCI test semantics, data.py:505-506)."""
+        (UCI test semantics, data.py:505-506). ``return_nll_x=True``
+        additionally returns the x-lane-only NLL for two-lane models — the
+        reference's ``x_jac`` metric (train_conditional.py:50-55,134),
+        principled via per-lane log-dets; NaN for single-lane models."""
         k_perm, k_noise = jax.random.split(key)
-        if full_batch:
+
+        def whole_set():
             yb = y if y is not None else jnp.zeros((x.shape[0], 0), x.dtype)
-            terms, _ = self.eval_fn(params, x, yb, k_noise)
-            return np.asarray(jax.device_get(terms))
+            terms, nll_x = self.eval_fn(params, x, yb, k_noise)
+            return np.asarray(jax.device_get(terms)), float(nll_x)
+
         perm, n_batches = self._batches(k_perm, x.shape[0], False)
-        if n_batches == 0:  # test set smaller than one batch: evaluate whole set
-            yb = y if y is not None else jnp.zeros((x.shape[0], 0), x.dtype)
-            terms, _ = self.eval_fn(params, x, yb, k_noise)
-            return np.asarray(jax.device_get(terms))
+        if full_batch or n_batches == 0:
+            terms, nll_x = whole_set()
+            return (terms, nll_x) if return_nll_x else terms
         x_sh, y_sh = x[perm], (y[perm] if y is not None else None)
-        losses = []
+        losses, nll_xs = [], []
         noise_keys = jax.random.split(k_noise, n_batches)
         for b in range(n_batches):
             xb = jax.lax.dynamic_slice_in_dim(x_sh, b * self.batch_size, self.batch_size)
@@ -248,9 +254,13 @@ class Trainer:
                 if y_sh is not None
                 else jnp.zeros((self.batch_size, 0), x.dtype)
             )
-            terms, _ = self.eval_fn(params, xb, yb, noise_keys[b])
+            terms, nll_x = self.eval_fn(params, xb, yb, noise_keys[b])
             losses.append(terms)
-        return np.mean(jax.device_get(jnp.stack(losses)), axis=0)
+            nll_xs.append(nll_x)
+        mean_terms = np.mean(jax.device_get(jnp.stack(losses)), axis=0)
+        if return_nll_x:
+            return mean_terms, float(np.mean(jax.device_get(jnp.stack(nll_xs))))
+        return mean_terms
 
     def fit(
         self,

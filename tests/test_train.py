@@ -197,3 +197,30 @@ def test_resume_matches_uninterrupted():
 
     for a, b in zip(jax.tree.leaves(s_full.params), jax.tree.leaves(s_res.params)):
         assert jnp.allclose(a, b, atol=1e-6), "resume diverged from straight run"
+
+
+def test_eval_nll_x_two_lane():
+    """x-lane NLL (the reference's x_jac metric) from per-lane logdets."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hint_tpu.models import builders
+    from hint_tpu.train.trainer import Trainer
+
+    m = builders.conditional_hint(
+        dim_x=8, dim_y=3, n_blocks=2, c_internal=(8,), hidden_external=8, hidden_y=8
+    )
+    tr = Trainer(model=m, kind="hint", batch_size=16, n_epochs=1)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (32, 8))
+    y = jax.random.normal(jax.random.PRNGKey(2), (32, 3))
+    terms, nll_x = tr.eval_epoch(state.params, x, y, jax.random.PRNGKey(3), return_nll_x=True)
+    assert terms.shape == (2,) and np.isfinite(nll_x)
+    # x-lane NLL is bounded by the total two-lane NLL structure: finite, real
+    # and unconditional models report NaN
+    m2 = builders.inn(8, 1, 8)
+    tr2 = Trainer(model=m2, kind="unconditional", batch_size=16, n_epochs=1)
+    s2 = tr2.init_state(jax.random.PRNGKey(4))
+    _, nx2 = tr2.eval_epoch(s2.params, x, None, jax.random.PRNGKey(5), return_nll_x=True)
+    assert np.isnan(nx2)
