@@ -25,7 +25,7 @@ from hint_tpu.ops.clamp import soft_clamp_exp, soft_clamp_log
 from hint_tpu.ops.householder import HouseholderPerm
 from hint_tpu.ops.coupling import AffineCoupling, ExternalAffineCoupling
 from hint_tpu.ops.hac import HierarchicalAffineCoupling
-from hint_tpu.models.flow import Flow, TwoLaneFlow
+from hint_tpu.models.flow import Flow, ScannedRepeat, TwoLaneFlow
 from hint_tpu.models import builders
 
 __all__ = [
@@ -37,6 +37,7 @@ __all__ = [
     "ExternalAffineCoupling",
     "HierarchicalAffineCoupling",
     "Flow",
+    "ScannedRepeat",
     "TwoLaneFlow",
     "builders",
 ]
