@@ -1,0 +1,41 @@
+"""Smoke tests for the paper-figure module (headless rendering to files)."""
+
+import os
+
+import numpy as np
+import pytest
+
+matplotlib = pytest.importorskip("matplotlib")
+
+from hint_tpu.monitor import figures
+
+
+def test_dataset_example_writes_png_and_corr(tmp_path):
+    from hint_tpu.data.fourier import LensShapeModel
+
+    np.random.seed(0)
+    path = figures.plot_dataset_example(
+        LensShapeModel(), limits=(-2.5, 2.5, -2.5, 2.5), n_samples=50, out_dir=str(tmp_path)
+    )
+    assert os.path.exists(path)
+    corr = np.load(tmp_path / "lens-shape1_corr.npy")
+    assert corr.shape == (20, 20)
+
+
+def test_fourier_example_and_metrics_illustration(tmp_path):
+    p1 = figures.plot_fouriercurve_example(out_dir=str(tmp_path))
+    p2 = figures.metrics_illustration(out_dir=str(tmp_path))
+    assert os.path.exists(p1) and os.path.exists(p2)
+
+
+def test_parameter_sensitivity(tmp_path):
+    np.random.seed(1)
+    p = figures.show_parameter_sensitivity(n_samples=2, out_dir=str(tmp_path))
+    assert os.path.exists(p)
+
+
+def test_line_data_units_constructs():
+    line = figures.LineDataUnits([0, 1], [0, 1], linewidth=0.5, color=(0, 0, 0))
+    from matplotlib.lines import Line2D
+
+    assert isinstance(line, Line2D)
