@@ -168,18 +168,19 @@ def main():
     jax_sps = bench_jax()
     try:
         ref_sps = bench_torch_cpu()
-        ratio = jax_sps / ref_sps
+        ratio = round(jax_sps / ref_sps, 2)
     except Exception as e:  # torch missing/broken: report absolute number only
         print(f"torch baseline failed: {e}", file=sys.stderr)
-        ratio = float("nan")
+        ratio = None  # strict-JSON null, never NaN
     print(
         json.dumps(
             {
                 "metric": "train_steps_per_sec",
                 "value": round(jax_sps, 3),
                 "unit": "steps/s",
-                "vs_baseline": round(ratio, 2),
-            }
+                "vs_baseline": ratio,
+            },
+            allow_nan=False,
         )
     )
 

@@ -42,9 +42,11 @@ def prepare_toy_data(
                 from hint_tpu.data import native
 
                 return native.sample_joint(model.name, n, seed=seed)
-            except Exception:
+            except Exception as e:
                 if engine == "native":
                     raise
+                print(f"native generator unavailable ({e!r}); numpy fallback "
+                      f"(15-65x slower)")
         return model.sample_joint(n)
 
     def load_or_generate(split: str, n: int):

@@ -21,6 +21,7 @@ Cache layout matches the reference so results are interchangeable:
 
 from __future__ import annotations
 
+import functools
 import os
 import pickle
 import time
@@ -43,9 +44,11 @@ def _sample_chunk(args):
 
             # native sample_joint = prior + forward process in one pass
             return native.sample_joint(model.name, n, seed=seed)
-        except Exception:
+        except Exception as e:
             if engine == "native":
                 raise
+            print(f"native generator unavailable ({e!r}); numpy fallback "
+                  f"(15-65x slower)")
     np.random.seed(seed)
     x = model.sample_prior(n).astype(np.float32)
     y = model.forward_process(x).astype(np.float32)
@@ -85,7 +88,7 @@ def prepare_samples(
             native.load()
         except Exception:
             pass
-    n_chunks = max(1, n_total // chunk)
+    n_chunks = max(1, -(-n_total // chunk))  # ceil: never under-generate
     args = [(model_factory, chunk, seed + i, engine) for i in range(n_chunks)]
     t0 = time.time()
     n_workers = n_workers or os.cpu_count()
@@ -95,8 +98,8 @@ def prepare_samples(
     mp = mp.get_context("fork")
     with mp.Pool(n_workers) as pool:
         parts = pool.map(_sample_chunk, args, chunksize=4)
-    x = np.concatenate([p[0] for p in parts], axis=0)
-    y = np.concatenate([p[1] for p in parts], axis=0)
+    x = np.concatenate([p[0] for p in parts], axis=0)[:n_total]
+    y = np.concatenate([p[1] for p in parts], axis=0)[:n_total]
     np.save(fx, x)
     np.save(fy, y)
     print(f"prepared {x.shape[0]:,} prior samples in {time.time() - t0:.1f}s "
@@ -105,6 +108,23 @@ def prepare_samples(
 
 
 # -- quantile ABC --------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _chunk_topk_fn(k: int):
+    """Module-level jitted distance+top-k so repeated quantile_ABC calls hit
+    the jit cache instead of re-tracing per call (hot path: once per ABC
+    target, up to 1000 targets per comparison sweep)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chunk_topk(y_chunk, yt):
+        d = jnp.sqrt(jnp.sum((y_chunk - yt) ** 2, axis=1))
+        neg, idx = jax.lax.top_k(-d, min(k, y_chunk.shape[0]))
+        return -neg, idx
+
+    return chunk_topk
 
 
 def quantile_ABC(
@@ -118,17 +138,11 @@ def quantile_ABC(
     Distance + top-k run chunked on the accelerator; only (n+2)-sized
     per-chunk survivors return to host.
     """
-    import jax
     import jax.numpy as jnp
 
     y_t = np.asarray(y_target, np.float32).reshape(1, -1)
     k = min(n + 2, y.shape[0])  # +1 for the dropped nearest, +1 for threshold
-
-    @jax.jit
-    def chunk_topk(y_chunk, yt):
-        d = jnp.sqrt(jnp.sum((y_chunk - yt) ** 2, axis=1))
-        neg, idx = jax.lax.top_k(-d, min(k, y_chunk.shape[0]))
-        return -neg, idx
+    chunk_topk = _chunk_topk_fn(k)
 
     best_d, best_i = [], []
     for start in range(0, y.shape[0], device_chunk):

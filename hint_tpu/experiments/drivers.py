@@ -99,6 +99,9 @@ def _score_shapes(data_model, sample_flat: np.ndarray, family: str) -> np.ndarra
         if not np.isfinite(params[j]).all():
             continue  # all restarts diverged for this curve
         per.append(iou_dice(params[j], curves[j]) + haus(params[j], dense[j]))
+    if not per:  # nothing scoreable: keep the (4,) contract with NaNs
+        print("shape scoring: no scoreable curves (all dropped or diverged)")
+        return np.full(4, np.nan)
     arr = np.asarray(per)  # (B_ok, 4): iou, dice, max_h, avg_h
     return arr.mean(axis=0)
 

@@ -102,16 +102,22 @@ class InferenceService:
         return np.broadcast_to(y[None, :], (n, dy)).copy()
 
     def warmup(self) -> None:
-        """Compile every bucket ahead of traffic."""
+        """Compile every bucket ahead of traffic (request size == bucket size,
+        so each bucket's program actually compiles)."""
         for b in self.buckets:
-            self.sample(min(b, 8), seed=0)
-            x = np.zeros((min(b, 8), self.cfg.ndim_x), np.float32)
-            self.log_prob(x)
+            self.sample(b, seed=0)
+            self.log_prob(np.zeros((b, self.cfg.ndim_x), np.float32))
 
     # -- endpoints -----------------------------------------------------------
 
-    def sample(self, n: int, y_target=None, seed: int = 0) -> np.ndarray:
+    def sample(self, n: int, y_target=None, seed: Optional[int] = None) -> np.ndarray:
+        """``seed=None`` (default) draws fresh per-request entropy; pass a
+        seed to opt into determinism."""
+        import os as _os
+
         jax = self._jax
+        if seed is None:
+            seed = int.from_bytes(_os.urandom(4), "little")
         b = self._bucket(n)
         y = self._y_for(b, y_target)
         x = self._sample_fn(self.params, jax.random.PRNGKey(seed), y)
@@ -174,7 +180,9 @@ def serve(service: InferenceService, host: str = "127.0.0.1", port: int = 8000):
                     n = int(req.get("n", 1))
                     if n < 1 or n > 1_000_000:
                         raise ValueError("n out of range [1, 1e6]")
-                    x = service.sample(n, req.get("y_target"), int(req.get("seed", 0)))
+                    seed = req.get("seed")
+                    x = service.sample(n, req.get("y_target"),
+                                       None if seed is None else int(seed))
                     self._reply(200, {"x": x.tolist()})
                 elif self.path == "/log_prob":
                     x = np.asarray(req["x"], np.float32)
