@@ -28,6 +28,11 @@ def _add_common(p):
                    help="matmul compute dtype (params stay float32)")
     p.add_argument("--impl", default="levelwise", choices=["levelwise", "reference", "pallas"],
                    help="HAC engine (pallas = experimental fused kernel)")
+    p.add_argument("--lr-semantics", default="legacy", choices=["legacy", "modern"],
+                   help="post-warmup StepLR behavior: 'legacy' = torch-1.x closed form "
+                        "(the schedule the reference was written against), 'modern' = "
+                        "torch>=1.4 chainable semantics the reference executes today "
+                        "(~28x lower post-warmup lr; see train/optim.py)")
 
 
 def cmd_list(args):
@@ -61,7 +66,7 @@ def cmd_train(args):
         cfg = type(cfg)(**{**cfg.__dict__, **overrides})
     print(f"config: {cfg.name} (suffix {cfg.suffix})")
     (x_tr, y_tr), (x_te, y_te) = cfg.load_data(args.cache_dir, args.uci_root)
-    trainer = cfg.make_trainer(compute_dtype=args.dtype, impl=args.impl)
+    trainer = cfg.make_trainer(compute_dtype=args.dtype, impl=args.impl, lr_semantics=args.lr_semantics)
     if args.plot_dir:
         from hint_tpu.monitor import make_monitor
 
@@ -124,7 +129,7 @@ def cmd_evaluate(args):
 
     cfg = get_config(args.config)
     (_, _), (x_te, y_te) = cfg.load_data(args.cache_dir, args.uci_root)
-    trainer = cfg.make_trainer(compute_dtype=args.dtype, impl=args.impl)
+    trainer = cfg.make_trainer(compute_dtype=args.dtype, impl=args.impl, lr_semantics=args.lr_semantics)
     template = trainer.init_state(jax.random.PRNGKey(args.seed))
     state = checkpoint.load_npz(args.ckpt, template)
     losses, nll_x = trainer.eval_epoch(
@@ -154,7 +159,7 @@ def cmd_sample(args):
     from hint_tpu.train import checkpoint
 
     cfg = get_config(args.config)
-    trainer = cfg.make_trainer(compute_dtype=args.dtype, impl=args.impl)
+    trainer = cfg.make_trainer(compute_dtype=args.dtype, impl=args.impl, lr_semantics=args.lr_semantics)
     template = trainer.init_state(jax.random.PRNGKey(args.seed))
     state = checkpoint.load_npz(args.ckpt, template)
     y_target = None

@@ -64,6 +64,10 @@ class Config:
     adam_betas: Tuple[float, float]
     vis_y_target: Optional[Tuple[float, ...]]
     vestigial: bool = False
+    # y-lane AffineCoupling width for conditional_hint graphs; the reference
+    # derives it per-family (lens: hidden//4, plus: hidden//2, vestigial
+    # fourier: hidden — configs/*/conditional_hint_*_full.py:88)
+    hidden_y: Optional[int] = None
 
     @property
     def ndim_x(self) -> int:
@@ -128,19 +132,27 @@ class Config:
                 compute_dtype=compute_dtype, impl=impl,
             )
         if self.model_type == "conditional_hint":
-            # external coupling uses hidden, y-lane coupling hidden//2
-            # (conditional_hint_8_full.py:78-89)
+            # external coupling uses hidden; y-lane coupling width is the
+            # per-config hidden_y (conditional_hint_*_full.py:78-89)
             return builders.conditional_hint(
                 d, dy, self.n_blocks, self.c_internal, hidden_external=self.hidden,
-                hidden_y=self.hidden // 2, perm_fixed=self.perm_fixed,
+                hidden_y=self.hidden_y if self.hidden_y is not None else self.hidden // 2,
+                perm_fixed=self.perm_fixed,
                 max_splits=self.max_splits, compute_dtype=compute_dtype, impl=impl,
             )
         raise ValueError(f"unknown model_type {self.model_type!r}")
 
-    def make_trainer(self, mesh=None, compute_dtype: str = "float32", impl: str = "levelwise"):
+    def make_trainer(
+        self,
+        mesh=None,
+        compute_dtype: str = "float32",
+        impl: str = "levelwise",
+        lr_semantics: str = "legacy",
+    ):
         from hint_tpu.train.trainer import Trainer
 
         return Trainer(
+            lr_semantics=lr_semantics,
             model=self.build_model(compute_dtype=compute_dtype, impl=impl),
             kind=self.kind,
             lr_init=self.lr_init,

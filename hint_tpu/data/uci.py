@@ -9,9 +9,11 @@ hostage to these recipes (SURVEY.md §7), so every step is kept exactly:
   per-column dequantization noise (gap 0.001, voltage 0.01, 3×U(0,1), time 0),
   90/10 then 90/10 split from the end, z-score by train+val moments
   (data.py:302-350);
-* GAS (d=8): drop Meth/Eth/Time, iteratively drop the first column whose
-  pairwise correlation count exceeds 1 at threshold 0.98, z-score, then
-  81/9/10 split (data.py:353-418);
+* GAS (d=8): drop Meth/Eth/Time, iteratively drop the FIRST column whose
+  pairwise *signed* correlation count exceeds 1 at threshold +0.98 (anti-
+  correlated columns are never pruned), z-score, then 81/9/10 split
+  (data.py:353-418; drop order + signedness pinned in
+  tests/test_uci_byte_parity.py);
 * MINIBOONE (d=42): 80/10/10 split, z-score by train+val moments, and the
   reference drops the last column *after* normalization via ``trn.x[:, 0:-1]``
   (data.py:428-430).

@@ -31,6 +31,10 @@ import numpy as np
 
 ArrayPair = Tuple[np.ndarray, np.ndarray]
 
+# Disjoint seed space for the ABC prior pool (train=0 / test=1 streams live
+# at small seeds — see prepare_samples below and data/loaders.py:65).
+ABC_SEED_OFFSET = 0x5EED0000
+
 
 # -- prior sweep -------------------------------------------------------------------
 
@@ -89,7 +93,15 @@ def prepare_samples(
         except Exception:
             pass
     n_chunks = max(1, -(-n_total // chunk))  # ceil: never under-generate
-    args = [(model_factory, chunk, seed + i, engine) for i in range(n_chunks)]
+    # Seed space is offset away from the training/test streams:
+    # prepare_toy_data draws train with seed 0 and test with seed 1, so chunk
+    # seeds starting at `seed + 0` would make the ABC "ground-truth" pool
+    # contain the exact training set (identical mt19937_64 streams) and bias
+    # the quantile-ABC posterior toward data the compared models trained on.
+    args = [
+        (model_factory, chunk, ABC_SEED_OFFSET + seed + i, engine)
+        for i in range(n_chunks)
+    ]
     t0 = time.time()
     n_workers = n_workers or os.cpu_count()
     # fork, deliberately: spawn re-imports __main__ (hangs REPL/stdin callers

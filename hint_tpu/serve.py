@@ -112,16 +112,30 @@ class InferenceService:
 
     def sample(self, n: int, y_target=None, seed: Optional[int] = None) -> np.ndarray:
         """``seed=None`` (default) draws fresh per-request entropy; pass a
-        seed to opt into determinism."""
+        seed to opt into determinism.
+
+        Requests larger than the largest bucket are served by paging over
+        the largest (already-compiled) bucket and concatenating — a huge n
+        never triggers a fresh XLA compile or a device allocation beyond
+        one bucket."""
         import os as _os
 
         jax = self._jax
         if seed is None:
             seed = int.from_bytes(_os.urandom(4), "little")
-        b = self._bucket(n)
-        y = self._y_for(b, y_target)
-        x = self._sample_fn(self.params, jax.random.PRNGKey(seed), y)
-        return np.asarray(x)[:n]
+        b_max = self.buckets[-1]
+        if n <= b_max:
+            b = self._bucket(n)
+            y = self._y_for(b, y_target)
+            x = self._sample_fn(self.params, jax.random.PRNGKey(seed), y)
+            return np.asarray(x)[:n]
+        n_chunks = -(-n // b_max)
+        keys = jax.random.split(jax.random.PRNGKey(seed), n_chunks)
+        y = self._y_for(b_max, y_target)
+        out = np.concatenate(
+            [np.asarray(self._sample_fn(self.params, k, y)) for k in keys]
+        )
+        return out[:n]
 
     def log_prob(self, x: np.ndarray, y: Optional[np.ndarray] = None) -> np.ndarray:
         x = np.asarray(x, np.float32)
@@ -153,8 +167,14 @@ class InferenceService:
         return cls(cfg, state.params, **kw)
 
 
-def serve(service: InferenceService, host: str = "127.0.0.1", port: int = 8000):
-    """Blocking single-process HTTP server over the service."""
+# /sample HTTP cap: paging (see InferenceService.sample) makes any n cheap to
+# *compute*, but the JSON response is O(n * ndim_x); one blocking
+# single-threaded request must stay bounded. Page client-side for more.
+MAX_HTTP_SAMPLE_N = 65_536
+
+
+def make_server(service: InferenceService, host: str = "127.0.0.1", port: int = 8000):
+    """Build (but don't start) the HTTP server — separable for tests."""
     from http.server import BaseHTTPRequestHandler, HTTPServer
 
     class Handler(BaseHTTPRequestHandler):
@@ -178,8 +198,8 @@ def serve(service: InferenceService, host: str = "127.0.0.1", port: int = 8000):
                 req = json.loads(self.rfile.read(length) or b"{}")
                 if self.path == "/sample":
                     n = int(req.get("n", 1))
-                    if n < 1 or n > 1_000_000:
-                        raise ValueError("n out of range [1, 1e6]")
+                    if n < 1 or n > MAX_HTTP_SAMPLE_N:
+                        raise ValueError(f"n out of range [1, {MAX_HTTP_SAMPLE_N}]")
                     seed = req.get("seed")
                     x = service.sample(n, req.get("y_target"),
                                        None if seed is None else int(seed))
@@ -199,6 +219,11 @@ def serve(service: InferenceService, host: str = "127.0.0.1", port: int = 8000):
         def log_message(self, fmt, *args):  # quiet
             pass
 
-    httpd = HTTPServer((host, port), Handler)
-    print(f"serving {service.cfg.name} on http://{host}:{port}")
+    return HTTPServer((host, port), Handler)
+
+
+def serve(service: InferenceService, host: str = "127.0.0.1", port: int = 8000):
+    """Blocking single-process HTTP server over the service."""
+    httpd = make_server(service, host, port)
+    print(f"serving {service.cfg.name} on http://{host}:{httpd.server_port}")
     httpd.serve_forever()

@@ -11,10 +11,23 @@ Reproduces the reference update rule exactly
 3. Adam with betas from config and ``eps = 1e-4`` added after the sqrt,
    bias-corrected (train_unconditional.py:174-176);
 4. LR schedule: ``lr(e) = lr_init * 3e-2`` for warmup epochs
-   ``e < pre_low_lr``, else ``lr_init * final_decay^(e / n_epochs)``
-   (StepLR γ = final_decay^(1/n_epochs), train_unconditional.py:177-178,
-   191-193 — closed form, matching the torch-1.x-era scheduler the reference
-   was written against);
+   ``e < pre_low_lr``; afterwards the reference's behavior depends on the
+   torch version it runs under, so BOTH semantics are implemented behind
+   ``semantics=`` and tested against real ``torch.optim.lr_scheduler.StepLR``
+   (tests/test_train.py):
+
+   * ``"legacy"`` (default): ``lr_init * γ^e`` with γ = final_decay^(1/n_epochs)
+     — torch-1.x StepLR recomputed lr from ``base_lr`` each step, so the
+     warmup mutation (train_unconditional.py:191-193) was overwritten by the
+     closed form. This is the schedule the reference was written against
+     (repo dates to the torch-1.x era) and the one whose final lr actually
+     reaches ``lr_init * final_decay``.
+   * ``"modern"``: what the reference executes under torch ≥ 1.4 chainable
+     schedulers today — ``StepLR.step()`` multiplies the *current* (warmup-
+     mutated) lr, so post-warmup lr continues from the warmup value:
+     ``lr_init * 3e-2 * γ^(e - pre_low_lr + 1)`` (≈28× lower; measured in
+     round-1 VERDICT). With ``pre_low_lr == 0`` no mutation ever happens and
+     both semantics coincide at ``lr_init * γ^e``.
 5. init: every *trainable* leaf overwritten with ``init_scale * N(0,1)``
    (train_unconditional.py:165-167); frozen buffers (fixed Householder Q)
    keep their init values.
@@ -38,9 +51,30 @@ ADAM_EPS = 1e-4  # train_unconditional.py:175
 WARMUP_FACTOR = 3e-2  # train_unconditional.py:193
 
 
-def lr_schedule(epoch, lr_init: float, pre_low_lr: int, final_decay: float, n_epochs: int):
-    """Per-epoch learning rate (works traced or untraced)."""
-    decayed = lr_init * jnp.power(final_decay, jnp.asarray(epoch, jnp.float32) / n_epochs)
+LR_SEMANTICS = ("legacy", "modern")
+
+
+def lr_schedule(
+    epoch,
+    lr_init: float,
+    pre_low_lr: int,
+    final_decay: float,
+    n_epochs: int,
+    semantics: str = "legacy",
+):
+    """Per-epoch learning rate (works traced or untraced). See module
+    docstring for the legacy/modern StepLR distinction."""
+    if semantics not in LR_SEMANTICS:
+        raise ValueError(f"semantics must be one of {LR_SEMANTICS}, got {semantics!r}")
+    e = jnp.asarray(epoch, jnp.float32)
+    if semantics == "legacy" or pre_low_lr == 0:
+        decayed = lr_init * jnp.power(final_decay, e / n_epochs)
+    else:
+        decayed = (
+            lr_init
+            * WARMUP_FACTOR
+            * jnp.power(final_decay, (e - pre_low_lr + 1) / n_epochs)
+        )
     return jnp.where(jnp.asarray(epoch) < pre_low_lr, lr_init * WARMUP_FACTOR, decayed)
 
 

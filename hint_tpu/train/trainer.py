@@ -76,6 +76,13 @@ class Trainer:
     max_batches_per_epoch: int = 100
     mesh: Optional[jax.sharding.Mesh] = None
     data_axis: str = "data"
+    # which torch StepLR behavior to reproduce post-warmup (see optim.py
+    # docstring; "legacy" = torch-1.x closed form, "modern" = torch>=1.4
+    # chainable semantics the reference executes today)
+    lr_semantics: str = "legacy"
+    # per-batch Gaussian input-noise std on x (train_unconditional.py:121);
+    # a field (not a constant) so parity tests can inject exact noise
+    noise_std: float = NOISE_STD
 
     def __post_init__(self):
         if self.kind == CONDITIONAL_HINT and not isinstance(self.model, TwoLaneFlow):
@@ -146,7 +153,7 @@ class Trainer:
         _, opt_update = make_optimizer(self.adam_betas, self.l2_weight_reg, mask)
 
         def train_step(state: TrainState, x, y, noise_key, lr):
-            x = x + NOISE_STD * jax.random.normal(noise_key, x.shape, x.dtype)
+            x = x + self.noise_std * jax.random.normal(noise_key, x.shape, x.dtype)
 
             def loss_fn(params):
                 total, terms = self._loss(params, x, y, True)
@@ -160,7 +167,7 @@ class Trainer:
             return TrainState(params, opt, state.epoch), jnp.stack(terms[:2])
 
         def eval_step(params, x, y, noise_key):
-            x = x + NOISE_STD * jax.random.normal(noise_key, x.shape, x.dtype)
+            x = x + self.noise_std * jax.random.normal(noise_key, x.shape, x.dtype)
             _, terms = self._loss(params, x, y, False)
             return jnp.stack(terms[:2]), terms[2]
 
@@ -206,7 +213,10 @@ class Trainer:
         return perm, n_batches
 
     def train_epoch(self, state: TrainState, x, y, key, epoch: int, monitor=None) -> Tuple[TrainState, np.ndarray]:
-        lr = lr_schedule(epoch, self.lr_init, self.pre_low_lr, self.final_decay, self.n_epochs)
+        lr = lr_schedule(
+            epoch, self.lr_init, self.pre_low_lr, self.final_decay, self.n_epochs,
+            self.lr_semantics,
+        )
         k_perm, k_noise = jax.random.split(key)
         perm, n_batches = self._batches(k_perm, x.shape[0], True)
         x_sh, y_sh = x[perm], (y[perm] if y is not None else None)
@@ -306,7 +316,10 @@ class Trainer:
                 self._push_plots(state.params, x_te, y_te, key, monitor)
             if monitor is not None:
                 lr = float(
-                    lr_schedule(epoch, self.lr_init, self.pre_low_lr, self.final_decay, self.n_epochs)
+                    lr_schedule(
+                        epoch, self.lr_init, self.pre_low_lr, self.final_decay,
+                        self.n_epochs, self.lr_semantics,
+                    )
                 )
                 monitor.update_losses(np.concatenate([train_losses, test_losses]), lr)
             if checkpoint_fn is not None:

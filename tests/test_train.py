@@ -31,6 +31,68 @@ def test_lr_schedule():
     assert lr49 == pytest.approx(0.01 * 0.01 ** (49 / 50), rel=1e-5)
 
 
+def _torch_reference_lr_trace(lr_init, pre_low_lr, final_decay, n_epochs):
+    """Run the reference's exact warmup-mutation + StepLR loop
+    (/root/reference/train_unconditional.py:174-178,191-193,201) under the
+    *installed* torch, recording the lr each epoch actually trains with."""
+    import torch
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    optim = torch.optim.Adam([p], lr=lr_init)
+    sched = torch.optim.lr_scheduler.StepLR(
+        optim, step_size=1, gamma=final_decay ** (1.0 / n_epochs)
+    )
+    lrs = []
+    for e in range(n_epochs):
+        if e < pre_low_lr:
+            for group in optim.param_groups:
+                group["lr"] = lr_init * 3e-2
+        lrs.append(optim.param_groups[0]["lr"])
+        optim.step()  # silence the step-order warning; no grads -> no-op
+        sched.step()
+    return np.asarray(lrs)
+
+
+@pytest.mark.parametrize("pre_low_lr", [0, 3])
+def test_lr_modern_matches_installed_torch_steplr(pre_low_lr):
+    """semantics='modern' must reproduce the reference loop as it executes
+    under torch >= 1.4 chainable schedulers (the installed torch): StepLR
+    multiplies the *current* (warmup-mutated) lr, so post-warmup lr continues
+    from lr_init*3e-2, ~28x below the closed form."""
+    torch_lrs = _torch_reference_lr_trace(0.01, pre_low_lr, 0.01, 50)
+    ours = np.asarray(
+        [float(lr_schedule(e, 0.01, pre_low_lr, 0.01, 50, "modern")) for e in range(50)]
+    )
+    np.testing.assert_allclose(ours, torch_lrs, rtol=1e-5)
+
+
+def test_lr_legacy_matches_torch_closed_form():
+    """semantics='legacy' is the torch-1.x StepLR closed form
+    lr_init * gamma^e, which old StepLR recomputed from base_lr every epoch
+    (overwriting the warmup mutation). Under installed torch the same closed
+    form is produced by the loop *without* the warmup mutation."""
+    torch_lrs = _torch_reference_lr_trace(0.01, 0, 0.01, 50)  # no mutation
+    ours = np.asarray(
+        [float(lr_schedule(e, 0.01, 3, 0.01, 50, "legacy")) for e in range(50)]
+    )
+    # post-warmup epochs follow the closed form exactly
+    np.testing.assert_allclose(ours[3:], torch_lrs[3:], rtol=1e-5)
+    # warmup epochs use the mutated low lr (train_unconditional.py:193)
+    np.testing.assert_allclose(ours[:3], 0.01 * 3e-2, rtol=1e-6)
+
+
+def test_lr_semantics_coincide_without_warmup():
+    for e in range(10):
+        a = float(lr_schedule(e, 0.01, 0, 0.01, 50, "legacy"))
+        b = float(lr_schedule(e, 0.01, 0, 0.01, 50, "modern"))
+        assert a == pytest.approx(b, rel=1e-6)
+
+
+def test_lr_semantics_rejects_unknown():
+    with pytest.raises(ValueError):
+        lr_schedule(0, 0.01, 3, 0.01, 50, "torch3000")
+
+
 def test_adam_matches_torch():
     """Our masked Adam must reproduce torch.optim.Adam(weight_decay=...) with
     the reference's grad clamp, to float32 tolerance over 25 steps

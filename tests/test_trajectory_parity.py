@@ -1,0 +1,151 @@
+"""End-to-end training-TRAJECTORY parity vs an independent PyTorch oracle.
+
+Round-1 verification only pinned per-piece parity (forward/inverse/log-det,
+one Adam tensor, LR values). This test closes the loop the BASELINE "NLL
+within 0.01 nats" target actually depends on: with identical injected init,
+identical batches and identical injected input noise, the full training
+loop — forward + NLL + autodiff + grad clamp ±5 + coupled-L2 Adam(eps=1e-4)
++ the LR schedule — must produce the same per-step losses (and final
+weights) as torch executing the reference update rule
+(/root/reference/train_unconditional.py:114-144,165-201).
+
+The torch oracle owns real nn.Parameters initialised from the hint_tpu
+params, so both frameworks integrate the same trajectory independently.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from hint_tpu.models.flow import Flow
+from hint_tpu.ops.hac import HierarchicalAffineCoupling
+from hint_tpu.train.optim import ADAM_EPS, GRAD_CLAMP, lr_schedule
+from hint_tpu.train.trainer import UNCONDITIONAL, Trainer
+
+from tests.test_torch_parity import CLAMP_C, _torch_mlp
+
+DIM = 8
+N_STEPS = 24
+BATCH = 64
+LR_INIT, PRE_LOW_LR, FINAL_DECAY = 0.01, 3, 0.01
+BETAS, WEIGHT_DECAY = (0.9, 0.95), 1.86e-5
+
+
+class _TorchHACFlow(torch.nn.Module):
+    """Trainable torch mirror of Flow([HierarchicalAffineCoupling]) with
+    weights injected from the hint_tpu param tree (recursion semantics from
+    /root/reference/hint.py:62-101)."""
+
+    def __init__(self, bij, hac_params):
+        super().__init__()
+        self.bij = bij
+        self.nets = torch.nn.ModuleDict()
+
+        def visit(node):
+            key = f"{node.level}_{node.index}"
+            self.nets[key + "_s"] = _torch_mlp(bij._node_subnet(hac_params, node, 0))
+            self.nets[key + "_t"] = _torch_mlp(bij._node_subnet(hac_params, node, 1))
+            if not node.leaf:
+                visit(node.upper)
+                visit(node.lower)
+
+        visit(bij.tree)
+
+    def _fwd(self, node, x):
+        xu, xl = x[:, : node.split], x[:, node.split :]
+        j = x.new_zeros(x.shape[0])
+        if not node.leaf:
+            xu, ju = self._fwd(node.upper, xu)
+            xl, jl = self._fwd(node.lower, xl)
+            j = ju + jl
+        key = f"{node.level}_{node.index}"
+        s = self.nets[key + "_s"](xu)
+        log_e = CLAMP_C * torch.atan(s)
+        xl = torch.exp(log_e) * xl + self.nets[key + "_t"](xu)
+        return torch.cat([xu, xl], dim=1), j + log_e.sum(dim=1)
+
+    def forward(self, x):
+        return self._fwd(self.bij.tree, x)
+
+
+def _make_jax_side():
+    bij = HierarchicalAffineCoupling(dim=DIM, c_internal=(16, 8))
+    flow = Flow(bijectors=(bij,), dim=DIM)
+    tr = Trainer(
+        model=flow, kind=UNCONDITIONAL, lr_init=LR_INIT, pre_low_lr=PRE_LOW_LR,
+        final_decay=FINAL_DECAY, n_epochs=N_STEPS, adam_betas=BETAS,
+        l2_weight_reg=WEIGHT_DECAY, init_scale=0.005, batch_size=BATCH,
+        noise_std=0.0,  # noise injected into the batches so torch sees the same
+    )
+    state = tr.init_state(jax.random.PRNGKey(0))
+    return bij, tr, state
+
+
+def test_training_trajectory_matches_torch():
+    bij, tr, state = _make_jax_side()
+
+    rng = np.random.RandomState(7)
+    # pre-noised batches: the reference adds 0.01*N(0,1) per batch
+    # (train_unconditional.py:121); injecting it here makes both frameworks
+    # consume bit-identical inputs
+    batches = (
+        1.5 * rng.randn(N_STEPS, BATCH, DIM) + 0.01 * rng.randn(N_STEPS, BATCH, DIM)
+    ).astype(np.float32)
+    lrs = [
+        float(lr_schedule(e, LR_INIT, PRE_LOW_LR, FINAL_DECAY, N_STEPS, "legacy"))
+        for e in range(N_STEPS)
+    ]
+
+    # ---- torch oracle loop (reference update rule) ----
+    tmodel = _TorchHACFlow(bij, state.params["b0"])
+    opt = torch.optim.Adam(
+        tmodel.parameters(), lr=LR_INIT, betas=BETAS, eps=ADAM_EPS,
+        weight_decay=WEIGHT_DECAY,
+    )
+    torch_losses = []
+    for k in range(N_STEPS):
+        for group in opt.param_groups:
+            group["lr"] = lrs[k]
+        opt.zero_grad()
+        z, logdet = tmodel(torch.tensor(batches[k]))
+        loss = 0.5 * (z**2).sum(dim=1).mean() - logdet.mean()
+        loss.backward()
+        for p in tmodel.parameters():  # train_unconditional.py:140-141
+            p.grad.data.clamp_(-GRAD_CLAMP, GRAD_CLAMP)
+        opt.step()
+        torch_losses.append(float(loss.detach()))
+
+    # ---- hint_tpu loop ----
+    dummy_y = jnp.zeros((BATCH, 0), jnp.float32)
+    nk = jax.random.PRNGKey(99)  # inert: noise_std=0
+    jax_losses = []
+    for k in range(N_STEPS):
+        state, terms = tr.step_fn(state, jnp.asarray(batches[k]), dummy_y, nk, lrs[k])
+        jax_losses.append(float(np.asarray(terms).sum()))
+
+    np.testing.assert_allclose(jax_losses, torch_losses, atol=1e-4, rtol=1e-5)
+
+    # final weights agree too (padded lanes in the level-stacked layout are
+    # excluded: they never influence outputs)
+    def check_node(node):
+        for which, suffix in ((0, "_s"), (1, "_t")):
+            ours = bij._node_subnet(state.params["b0"], node, which)
+            theirs = tmodel.nets[f"{node.level}_{node.index}{suffix}"]
+            for layer, (wk, bk) in zip(
+                (theirs[0], theirs[2], theirs[4]),
+                (("w0", "b0"), ("w1", "b1"), ("w2", "b2")),
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(ours[wk]).T, layer.weight.detach().numpy(), atol=2e-5
+                )
+                np.testing.assert_allclose(
+                    np.asarray(ours[bk]), layer.bias.detach().numpy(), atol=2e-5
+                )
+        if not node.leaf:
+            check_node(node.upper)
+            check_node(node.lower)
+
+    check_node(bij.tree)
