@@ -212,6 +212,27 @@ def correlation_conditional(
 # -- systematic comparisons ------------------------------------------------------------
 
 
+def _mmd_with_reject(sample: np.ndarray, gt: np.ndarray) -> Tuple[float, float]:
+    """MMD computed on the finite rows only, with BOTH sides truncated to the
+    surviving count (never resample survivors — that silently flatters a
+    model whose tail diverges), plus the rejection rate to report alongside.
+
+    The reference applies no filter (rejection_sampling.py:148-157): at its
+    training budget inverse divergence is absent, and a non-finite sample
+    would just NaN the metric. mmd is NaN here when <2 rows survive.
+    """
+    import jax.numpy as jnp
+
+    from hint_tpu.evaluation.mmd import multi_mmd
+
+    ok = np.isfinite(sample).all(axis=1) & (np.abs(sample).max(axis=1) < 1e6)
+    k = int(ok.sum())
+    rej = 1.0 - k / sample.shape[0]
+    if k < 2:
+        return float("nan"), rej
+    return float(multi_mmd(jnp.asarray(sample[ok][:k]), jnp.asarray(gt[:k]))), rej
+
+
 def compare_unconditional(
     data_model,
     samplers: Dict[str, Callable[[np.ndarray], np.ndarray]],
@@ -225,25 +246,23 @@ def compare_unconditional(
     """MMD of each model's prior samples vs held-out true prior samples
     (rejection_sampling.py:135-165). ``samplers[name](z) -> x`` inverts the
     shared latent batch."""
-    import jax.numpy as jnp
-
-    from hint_tpu.evaluation.mmd import multi_mmd
-
     rng = rng or np.random.default_rng(0)
     x = np.load(os.path.join(abc_dir, f"{data_model.name}_x_huge.npy"), mmap_mode="r")
-    out = {name: {"times": [], "mmds": []} for name in samplers}
+    out = {name: {"times": [], "mmds": [], "rejects": []} for name in samplers}
     for i in range(n_runs):
         sel = rng.choice(x.shape[0], sample_size, replace=False)
-        gt = jnp.asarray(np.ascontiguousarray(x[np.sort(sel)]))
+        gt = np.ascontiguousarray(x[np.sort(sel)])
         z = rng.standard_normal((sample_size, data_model.n_parameters)).astype(np.float32)
         for name, sampler in samplers.items():
             t0 = time.time()
             sample = np.asarray(sampler(z))
             out[name]["times"].append(time.time() - t0)
-            out[name]["mmds"].append(float(multi_mmd(jnp.asarray(sample), gt)))
+            mmd, rej = _mmd_with_reject(sample, gt)
+            out[name]["mmds"].append(mmd)
+            out[name]["rejects"].append(rej)
             if verbose:
                 print(f"run {i + 1}/{n_runs} {name}: mmd={out[name]['mmds'][-1]:.5f} "
-                      f"({out[name]['times'][-1]:.3f}s)")
+                      f"rej={rej:.3f} ({out[name]['times'][-1]:.3f}s)")
     _dump_comparison(out, os.path.join(abc_dir, f"{data_model.name}_unconditional_comparison_{run}.pkl"))
     return out
 
@@ -261,17 +280,14 @@ def compare_conditional(
     """Per-target posterior MMD vs quantile-ABC ground truth + forward-process
     distance (rejection_sampling.py:168-213). ``samplers[name](y_tiled, z) ->
     x``. GT posteriors cache to abc/{name}/{i:05}.pkl, reference layout."""
-    import jax.numpy as jnp
-
     from hint_tpu.evaluation.metrics import mean_target_distance
-    from hint_tpu.evaluation.mmd import multi_mmd
 
     rng = rng or np.random.default_rng(0)
     x = np.load(os.path.join(abc_dir, f"{data_model.name}_x_huge.npy"), mmap_mode="r")
     y = np.load(os.path.join(abc_dir, f"{data_model.name}_y_huge.npy"), mmap_mode="r")
     gt_dir = os.path.join(abc_dir, data_model.name)
     os.makedirs(gt_dir, exist_ok=True)
-    out = {name: {"times": [], "mmds": [], "dists": []} for name in samplers}
+    out = {name: {"times": [], "mmds": [], "dists": [], "rejects": []} for name in samplers}
     for i in range(n_runs):
         f_gt = os.path.join(gt_dir, f"{i:05}.pkl")
         try:
@@ -283,7 +299,6 @@ def compare_conditional(
             gt_sample, threshold = quantile_ABC(x, y, y_target[0], n=sample_size)
             with open(f_gt, "wb") as f:
                 pickle.dump((y_target, gt_sample, threshold), f)
-        gt = jnp.asarray(gt_sample)
         z = rng.standard_normal((sample_size, data_model.n_parameters)).astype(np.float32)
         y_tiled = np.broadcast_to(
             np.asarray(y_target, np.float32).reshape(1, -1), (sample_size, data_model.n_observations)
@@ -292,13 +307,21 @@ def compare_conditional(
             t0 = time.time()
             sample = np.asarray(sampler(y_tiled, z))
             out[name]["times"].append(time.time() - t0)
-            out[name]["mmds"].append(float(multi_mmd(jnp.asarray(sample), gt)))
+            mmd, rej = _mmd_with_reject(sample, gt_sample)
+            out[name]["mmds"].append(mmd)
+            out[name]["rejects"].append(rej)
+            ok = np.isfinite(sample).all(axis=1)
             out[name]["dists"].append(
-                mean_target_distance(data_model, np.asarray(y_target).reshape(-1), sample)
+                mean_target_distance(
+                    data_model, np.asarray(y_target).reshape(-1), sample[ok]
+                )
+                if ok.any()
+                else float("nan")
             )
             if verbose:
                 print(f"run {i + 1}/{n_runs} {name}: mmd={out[name]['mmds'][-1]:.5f} "
-                      f"dist={out[name]['dists'][-1]:.5f} ({out[name]['times'][-1]:.3f}s)")
+                      f"dist={out[name]['dists'][-1]:.5f} rej={rej:.3f} "
+                      f"({out[name]['times'][-1]:.3f}s)")
     _dump_comparison(out, os.path.join(abc_dir, f"{data_model.name}_conditional_comparison_{run}.pkl"))
     return out
 

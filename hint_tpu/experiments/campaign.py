@@ -1,0 +1,430 @@
+"""Reference-scale evaluation campaign (mean ± std over 3 training runs).
+
+Reproduces the reference's full result protocol end-to-end
+(/root/reference/rejection_sampling.py:216-243, run_experiments.py:97-167,
+run_uci_experiments.py:9):
+
+* 3 training seeds per config at the configs' own (reference) budgets —
+  1M train / 100k test, 100 batches x 50 epochs for the toy families;
+* ABC prior pools via the native generator, quantile-ABC ground-truth
+  posteriors cached per target (reference cache layout);
+* conditional comparisons over 1000 y-targets, unconditional over 100
+  runs, shared latents across models (rejection_sampling.py:168-213);
+* 1000-curve shape scoring (run_experiments.py:115);
+* accumulation prints mean ± std over the 3 training runs.
+
+Every stage is idempotent (skips work whose artifact exists) and sized to
+be resumable, so the campaign can be driven incrementally:
+
+    python -m hint_tpu.experiments.campaign train --family lens
+    python -m hint_tpu.experiments.campaign pool --family lens --n 10000000
+    python -m hint_tpu.experiments.campaign compare --family lens \
+        --kind conditional --run 0
+    python -m hint_tpu.experiments.campaign shapes --family plus --n 1000
+    python -m hint_tpu.experiments.campaign report
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+CAMPAIGN_DIR = "artifacts/campaign"
+
+# the reference's accumulated model sets (rejection_sampling.py:218,232) plus
+# the plus-shape flagship pairs
+MODEL_SETS = {
+    ("lens", "unconditional"): [
+        "lens_shape.unconditional_inn_1",
+        "lens_shape.unconditional_inn_2",
+        "lens_shape.unconditional_hint_1_full",
+        "lens_shape.unconditional_hint_2_full",
+    ],
+    ("lens", "conditional"): [
+        "lens_shape.conditional_cinn_1",
+        "lens_shape.conditional_cinn_2",
+        "lens_shape.conditional_cinn_4",
+        "lens_shape.conditional_cinn_8",
+        "lens_shape.conditional_hint_1_full",
+        "lens_shape.conditional_hint_2_full",
+        "lens_shape.conditional_hint_4_full",
+        "lens_shape.conditional_hint_8_full",
+    ],
+    ("plus", "unconditional"): [
+        "plus_shape.unconditional_inn_4",
+        "plus_shape.unconditional_hint_4_full",
+    ],
+    ("plus", "conditional"): [
+        "plus_shape.conditional_cinn_4",
+        "plus_shape.conditional_hint_4_full",
+    ],
+}
+
+DATA_MODEL_NAME = {"lens": "lens-shape1", "plus": "plus-shape"}
+
+
+def family_configs(family: str):
+    return MODEL_SETS[(family, "unconditional")] + MODEL_SETS[(family, "conditional")]
+
+
+def _ckpt_path(config: str, seed: int, dtype: str = "float32") -> str:
+    tag = "" if dtype == "float32" else f"_{dtype}"
+    return os.path.join(CAMPAIGN_DIR, f"{config.replace('.', '-')}_s{seed}{tag}.npz")
+
+
+def _log_path() -> str:
+    return os.path.join(CAMPAIGN_DIR, "train_log.json")
+
+
+def _read_log() -> Dict:
+    try:
+        with open(_log_path()) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _write_log(log: Dict) -> None:
+    with open(_log_path(), "w") as f:
+        json.dump(log, f, indent=2, sort_keys=True)
+
+
+def _data_model(family: str):
+    from hint_tpu.data.fourier import LensShapeModel, PlusShapeModel
+
+    return LensShapeModel() if family == "lens" else PlusShapeModel()
+
+
+# -- stages ---------------------------------------------------------------------------
+
+
+def stage_data(family: str, cache_dir: str = "data") -> None:
+    """Generate + cache the toy datasets at the configs' reference sizes."""
+    from hint_tpu.configs import get_config
+
+    cfg = get_config(family_configs(family)[0])
+    cfg.load_data(cache_dir)
+    print(f"{family}: train/test caches ready ({cfg.n_train}/{cfg.n_test})")
+
+
+def stage_train(
+    family: str,
+    seeds=(0, 1, 2),
+    cache_dir: str = "data",
+    dtype: str = "float32",
+    configs=None,
+    max_minutes: Optional[float] = None,
+) -> None:
+    """Train every (config, seed) at the reference budget; skip existing
+    checkpoints; record final test losses + wall-clock in train_log.json."""
+    import jax
+    import jax.numpy as jnp
+
+    from hint_tpu.configs import get_config
+    from hint_tpu.train import checkpoint
+
+    os.makedirs(CAMPAIGN_DIR, exist_ok=True)
+    t_stage = time.time()
+    for config in configs or family_configs(family):
+        cfg = get_config(config)
+        (x_tr, y_tr), (x_te, y_te) = cfg.load_data(cache_dir)
+        x_tr, x_te = jnp.asarray(x_tr), jnp.asarray(x_te)
+        y_tr = jnp.asarray(y_tr) if cfg.is_conditional else None
+        y_te = jnp.asarray(y_te) if cfg.is_conditional else None
+        for seed in seeds:
+            path = _ckpt_path(config, seed, dtype)
+            key = f"{config}|s{seed}|{dtype}"
+            if os.path.exists(path):
+                continue
+            if max_minutes and (time.time() - t_stage) / 60 > max_minutes:
+                print("stage time budget reached; re-invoke to continue")
+                return
+            trainer = cfg.make_trainer(compute_dtype=dtype)
+            t0 = time.time()
+            state, final = trainer.fit(
+                jax.random.PRNGKey(seed), (x_tr, y_tr), (x_te, y_te),
+                full_batch_test=cfg.is_uci,
+            )
+            minutes = (time.time() - t0) / 60
+            checkpoint.save_npz(path, state)
+            log = _read_log()
+            log[key] = {
+                "final_test_loss": float(final),
+                "per_dim_ll": float(-final / cfg.ndim_x),
+                "minutes": minutes,
+                "n_epochs": cfg.n_epochs,
+                "batch_size": cfg.batch_size,
+            }
+            _write_log(log)
+            print(f"{key}: loss={final:.4f} per-dim LL={-final/cfg.ndim_x:.4f} "
+                  f"({minutes:.1f} min)", flush=True)
+
+
+def stage_pool(family: str, n: int, abc_dir: str = "abc") -> None:
+    from hint_tpu.data.fourier import LensShapeModel, PlusShapeModel
+    from hint_tpu.evaluation.abc import prepare_samples
+
+    factory = LensShapeModel if family == "lens" else PlusShapeModel
+    prepare_samples(factory, n_total=n, out_dir=abc_dir, chunk=100_000)
+
+
+def _load_state(config: str, seed: int, dtype: str = "float32"):
+    import jax
+
+    from hint_tpu.configs import get_config
+    from hint_tpu.train import checkpoint
+
+    cfg = get_config(config)
+    trainer = cfg.make_trainer(compute_dtype=dtype)
+    template = trainer.init_state(jax.random.PRNGKey(0))
+    state = checkpoint.load_npz(_ckpt_path(config, seed, dtype), template)
+    return cfg, trainer, state
+
+
+def make_samplers(configs, seed: int, dtype: str = "float32") -> Dict:
+    """(name -> jitted sampler) for one training-run index, matching the
+    reference's shared-z comparison interfaces: unconditional f(z) -> x,
+    conditional f(y_tiled, z) -> x."""
+    import jax
+    import jax.numpy as jnp
+
+    from hint_tpu.evaluation.sampling import sample_conditional
+
+    samplers = {}
+    for config in configs:
+        cfg, trainer, state = _load_state(config, seed, dtype)
+        model, params = trainer.model, state.params
+        if cfg.model_type == "conditional_hint":
+            dummy_key = jax.random.PRNGKey(0)
+
+            def f(p, y, z, model=model):
+                return sample_conditional(model, p, y, dummy_key, z_x=z)
+
+            jf = jax.jit(f)
+            samplers[config] = (
+                lambda y, z, jf=jf, params=params: jf(params, jnp.asarray(y), jnp.asarray(z))
+            )
+        elif cfg.is_conditional:
+            jf = jax.jit(lambda p, z, y, model=model: model.inverse(p, z, y)[0])
+            samplers[config] = (
+                lambda y, z, jf=jf, params=params: jf(params, jnp.asarray(z), jnp.asarray(y))
+            )
+        else:
+            jf = jax.jit(lambda p, z, model=model: model.inverse(p, z)[0])
+            samplers[config] = (
+                lambda z, jf=jf, params=params: jf(params, jnp.asarray(z))
+            )
+    return samplers
+
+
+def stage_compare(
+    family: str,
+    kind: str,
+    run: int,
+    n_runs: Optional[int] = None,
+    sample_size: int = 4000,
+    abc_dir: str = "abc",
+    dtype: str = "float32",
+) -> None:
+    """One comparison sweep for training-run index ``run`` — all models of
+    (family, kind) trained with seed=run, against the family's ABC pool."""
+    from hint_tpu.evaluation.abc import compare_conditional, compare_unconditional
+
+    configs = MODEL_SETS[(family, kind)]
+    samplers = make_samplers(configs, run, dtype)
+    dm = _data_model(family)
+    if kind == "unconditional":
+        compare_unconditional(
+            dm, samplers, n_runs=n_runs or 100, sample_size=sample_size,
+            abc_dir=abc_dir, run=run, rng=np.random.default_rng(1000 + run),
+            verbose=False,
+        )
+    else:
+        compare_conditional(
+            dm, samplers, n_runs=n_runs or 1000, sample_size=sample_size,
+            abc_dir=abc_dir, run=run, rng=np.random.default_rng(2000 + run),
+            verbose=False,
+        )
+    print(f"compare {family}/{kind} run {run}: done")
+
+
+def stage_shapes(
+    family: str, n: int = 1000, seeds=(0, 1, 2), dtype: str = "float32"
+) -> None:
+    """Reference-scale shape scoring (n=1000 samples per config, IoU / DICE /
+    Hausdorff — run_experiments.py:115,135-167), per seed, honest reporting:
+    non-finite curves are dropped and counted, never resampled."""
+    import jax
+
+    from hint_tpu.evaluation.sampling import sample_model
+    from hint_tpu.experiments.drivers import _score_shapes
+
+    out_path = os.path.join(CAMPAIGN_DIR, f"shapes_{family}.json")
+    try:
+        with open(out_path) as f:
+            out = json.load(f)
+    except Exception:
+        out = {}
+    dm = _data_model(family)
+    fam_key = "lens" if family == "lens" else "plus"
+    for config in family_configs(family):
+        for seed in seeds:
+            key = f"{config}|s{seed}"
+            if key in out:
+                continue
+            cfg, trainer, state = _load_state(config, seed, dtype)
+            t0 = time.time()
+            x = np.asarray(
+                sample_model(
+                    cfg, trainer.model, state.params, n, jax.random.PRNGKey(100 + seed),
+                    y_target=cfg.vis_y_target if cfg.is_conditional else None,
+                )
+            )
+            ok = np.isfinite(x).all(axis=1) & (np.abs(x).max(axis=1) < 1e3)
+            metrics = _score_shapes(dm, x, fam_key)
+            out[key] = {
+                "iou": float(metrics[0]), "dice": float(metrics[1]),
+                "max_h": float(metrics[2]), "avg_h": float(metrics[3]),
+                "n": n, "reject_rate": float(1 - ok.mean()),
+                "seconds": time.time() - t0,
+            }
+            with open(out_path, "w") as f:
+                json.dump(out, f, indent=2, sort_keys=True)
+            print(f"shapes {key}: iou={out[key]['iou']:.3f} "
+                  f"rej={out[key]['reject_rate']:.3f} "
+                  f"({out[key]['seconds']:.0f}s)", flush=True)
+
+
+def stage_report(abc_dir: str = "abc") -> str:
+    """Accumulate everything into artifacts/campaign/REPORT.md (mean ± std
+    over training runs, the reference's output format)."""
+    import pickle
+
+    lines = ["# Reference-scale campaign report", ""]
+    log = _read_log()
+
+    # per-dim likelihoods, mean +- std over seeds
+    lines += ["## Final test loss / per-dim likelihood (3 seeds)", "",
+              "| config | test loss | per-dim LL |", "|---|---|---|"]
+    by_cfg: Dict[str, list] = {}
+    for key, rec in sorted(log.items()):
+        config = key.split("|")[0]
+        if key.endswith("|float32"):
+            by_cfg.setdefault(config, []).append(rec)
+    for config, recs in sorted(by_cfg.items()):
+        losses = [r["final_test_loss"] for r in recs]
+        lls = [r["per_dim_ll"] for r in recs]
+        lines.append(
+            f"| {config} | {np.mean(losses):.3f} ± {np.std(losses):.3f} "
+            f"| {np.mean(lls):.4f} ± {np.std(lls):.4f} |"
+        )
+    lines.append("")
+
+    # MMD comparisons
+    for (family, kind), configs in MODEL_SETS.items():
+        name = DATA_MODEL_NAME[family]
+        rows = {}
+        for run in range(3):
+            p = os.path.join(abc_dir, f"{name}_{kind}_comparison_{run}.pkl")
+            if not os.path.exists(p):
+                continue
+            with open(p, "rb") as f:
+                d = pickle.load(f)
+            for cfg_name, rec in d.items():
+                rows.setdefault(cfg_name, {"mmds": [], "rej": [], "dists": []})
+                rows[cfg_name]["mmds"].append(np.nanmean(rec["mmds"]))
+                rows[cfg_name]["rej"].append(np.mean(rec.get("rejects", [0.0])))
+                if "dists" in rec:
+                    rows[cfg_name]["dists"].append(np.nanmean(rec["dists"]))
+        if not rows:
+            continue
+        lines += [f"## {family} {kind} posterior/prior MMD "
+                  f"(mean ± std over training runs)", "",
+                  "| model | MMD | reject rate | y-distance |", "|---|---|---|---|"]
+        for cfg_name, r in sorted(rows.items()):
+            d = (f"{np.nanmean(r['dists']):.4f}" if r["dists"] else "—")
+            lines.append(
+                f"| {cfg_name} | {np.nanmean(r['mmds']):.4f} ± {np.nanstd(r['mmds']):.4f} "
+                f"| {np.mean(r['rej']):.4f} | {d} |"
+            )
+        lines.append("")
+
+    # shape scores
+    for family in ("lens", "plus"):
+        path = os.path.join(CAMPAIGN_DIR, f"shapes_{family}.json")
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            shp = json.load(f)
+        by_cfg = {}
+        for key, rec in shp.items():
+            by_cfg.setdefault(key.split("|")[0], []).append(rec)
+        lines += [f"## {family} shape fit (n=1000 curves, 3 seeds)", "",
+                  "| config | IoU | DICE | max H | avg H | reject |",
+                  "|---|---|---|---|---|---|"]
+        for config, recs in sorted(by_cfg.items()):
+            def ms(k):
+                vals = [r[k] for r in recs]
+                return f"{np.nanmean(vals):.3f} ± {np.nanstd(vals):.3f}"
+            lines.append(f"| {config} | {ms('iou')} | {ms('dice')} | {ms('max_h')} "
+                         f"| {ms('avg_h')} | {ms('reject_rate')} |")
+        lines.append("")
+
+    report = "\n".join(lines)
+    os.makedirs(CAMPAIGN_DIR, exist_ok=True)
+    with open(os.path.join(CAMPAIGN_DIR, "REPORT.md"), "w") as f:
+        f.write(report)
+    print(report)
+    return report
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="stage", required=True)
+    for s in ("data", "train", "pool", "compare", "shapes"):
+        sp = sub.add_parser(s)
+        sp.add_argument("--family", required=True, choices=["lens", "plus"])
+        if s == "train":
+            sp.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+            sp.add_argument("--dtype", default="float32")
+            sp.add_argument("--configs", nargs="*", default=None)
+            sp.add_argument("--max-minutes", type=float, default=None)
+        if s == "pool":
+            sp.add_argument("--n", type=int, default=10_000_000)
+        if s == "compare":
+            sp.add_argument("--kind", required=True, choices=["unconditional", "conditional"])
+            sp.add_argument("--run", type=int, required=True)
+            sp.add_argument("--n-runs", type=int, default=None)
+            sp.add_argument("--sample-size", type=int, default=4000)
+        if s == "shapes":
+            sp.add_argument("--n", type=int, default=1000)
+            sp.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    sub.add_parser("report")
+    args = p.parse_args(argv)
+
+    from hint_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    if args.stage == "data":
+        stage_data(args.family)
+    elif args.stage == "train":
+        stage_train(args.family, tuple(args.seeds), dtype=args.dtype,
+                    configs=args.configs or None, max_minutes=args.max_minutes)
+    elif args.stage == "pool":
+        stage_pool(args.family, args.n)
+    elif args.stage == "compare":
+        stage_compare(args.family, args.kind, args.run, args.n_runs, args.sample_size)
+    elif args.stage == "shapes":
+        stage_shapes(args.family, args.n, tuple(args.seeds))
+    elif args.stage == "report":
+        stage_report()
+
+
+if __name__ == "__main__":
+    main()
