@@ -27,7 +27,6 @@ from abc import ABC, abstractmethod
 
 import numpy as np
 from numpy.random import rand, randn
-from scipy.spatial.distance import pdist, squareform
 
 from hint_tpu.data import geometry as geo
 
@@ -66,13 +65,13 @@ class FourierCurveModel(ABC):
 
     def trace_fourier_curves(self, coeffs: np.ndarray, n_points: int = 100) -> np.ndarray:
         """Sample points along the curves; coeffs (B, 2, 2M+1) → (B, n, 2)
-        (data.py:51-57)."""
+        (data.py:51-57). Same sum; evaluated as one complex matmul over the
+        coefficient axis instead of a (B, n, 2, 2M+1) broadcast temp (which
+        allocated ~650 MB per 4000-curve call and dominated eval wall-clock)."""
         t = np.linspace(0, 1, n_points)
         ms = np.arange(-(coeffs.shape[-1] // 2), coeffs.shape[-1] // 2 + 1)
-        tm = t[:, None] * ms[None, :]
-        return np.sum(
-            coeffs[:, None, :, :] * np.exp(2 * np.pi * 1j * tm)[None, :, None, :], axis=-1
-        ).real
+        basis = np.exp(2 * np.pi * 1j * t[:, None] * ms[None, :])  # (n, 2M+1)
+        return np.swapaxes(coeffs @ basis.T, 1, 2).real
 
     @abstractmethod
     def sample_prior(self, n_samples: int, flat: bool = True) -> np.ndarray: ...
@@ -129,16 +128,31 @@ class LensShapeModel(FourierCurveModel):
 
     def forward_process(self, x: np.ndarray, noise: float = 0.05) -> np.ndarray:
         """y = vector between the two most distant curve points + noise
-        (data.py:127-139)."""
+        (data.py:127-139). Batched: squared pairwise distances per chunk
+        replace the per-curve ``squareform(pdist)`` loop (argmax of d² picks
+        the reference's index — row-major first-max, monotone map); the noise
+        draw is the same single ``randn(B, 2)`` call."""
         coeffs = self.unflatten_coeffs(x)
-        points = self.trace_fourier_curves(coeffs)
-        features = []
-        for i in range(len(coeffs)):
-            d = squareform(pdist(points[i]))
-            max_idx = np.unravel_index(d.argmax(), d.shape)
-            p0, p1 = points[i, max_idx[0]], points[i, max_idx[1]]
-            features.append(((p1 - p0)[1], (p1 - p0)[0]))
-        features = np.array(features)
+        points = self.trace_fourier_curves(coeffs)  # (B, n, 2)
+        n = points.shape[1]
+        features = np.empty((len(points), 2), points.dtype)
+        chunk = max(1, 2**21 // (n * n))  # ~200 curves/chunk: L2-sized temps
+        for s in range(0, len(points), chunk):
+            # separable direct-difference distances, f64 + sqrt to match
+            # scipy.pdist bit-for-bit: the traced curve is closed, so the
+            # first and last points coincide and the max-distance pair is
+            # *exactly* tied — the argmax must break ties in the reference's
+            # precision and row-major order or the feature flips sign
+            p = points[s : s + chunk].astype(np.float64)
+            dx = p[:, :, None, 0] - p[:, None, :, 0]
+            dy = p[:, :, None, 1] - p[:, None, :, 1]
+            d2 = np.sqrt(dx * dx + dy * dy)
+            flat_idx = d2.reshape(len(p), -1).argmax(axis=1)
+            i0, i1 = np.unravel_index(flat_idx, (n, n))
+            rows = np.arange(len(p))
+            delta = p[rows, i1] - p[rows, i0]
+            features[s : s + chunk, 0] = delta[:, 1]
+            features[s : s + chunk, 1] = delta[:, 0]
         return features + noise * randn(*features.shape)
 
 

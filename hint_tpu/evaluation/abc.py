@@ -123,47 +123,76 @@ def prepare_samples(
 
 
 @functools.lru_cache(maxsize=None)
-def _chunk_topk_fn(k: int):
+def _chunk_topk_fn(k: int, mesh=None):
     """Module-level jitted distance+top-k so repeated quantile_ABC calls hit
     the jit cache instead of re-tracing per call (hot path: once per ABC
-    target, up to 1000 targets per comparison sweep)."""
+    target, up to 1000 targets per comparison sweep).
+
+    With ``mesh``, the observation chunk is sharded over the mesh's data axis:
+    each device computes distances + a local top-k on its shard and only the
+    merged k survivors are exchanged (GSPMD's two-phase TopK partitioning) —
+    the 1e8-row pool never needs to fit one device.
+    """
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
     def chunk_topk(y_chunk, yt):
         d = jnp.sqrt(jnp.sum((y_chunk - yt) ** 2, axis=1))
         neg, idx = jax.lax.top_k(-d, min(k, y_chunk.shape[0]))
         return -neg, idx
 
-    return chunk_topk
+    if mesh is None:
+        return jax.jit(chunk_topk)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch = NamedSharding(mesh, P("data", None))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(chunk_topk, in_shardings=(batch, repl), out_shardings=(repl, repl))
+
+
+def _pad_pool_rows(yc: np.ndarray, multiple: int) -> np.ndarray:
+    """Pad an observation chunk to a shardable row count with far-away rows
+    (distance ~1e30 — never in the top-k as long as k <= true rows)."""
+    pad = (-yc.shape[0]) % multiple
+    if pad == 0:
+        return yc
+    filler = np.full((pad, yc.shape[1]), 1e30, yc.dtype)
+    return np.concatenate([yc, filler], axis=0)
 
 
 def quantile_ABC(
     x: np.ndarray, y: np.ndarray, y_target: np.ndarray, n: int = 4000,
-    device_chunk: int = 4_000_000,
+    device_chunk: int = 4_000_000, mesh=None,
 ) -> Tuple[np.ndarray, float]:
     """The ``n`` prior samples whose observations are closest to ``y_target``
     (excluding the single closest, matching the reference's ``[1:]`` slice —
     rejection_sampling.py:88-96). Returns (samples, threshold).
 
     Distance + top-k run chunked on the accelerator; only (n+2)-sized
-    per-chunk survivors return to host.
+    per-chunk survivors return to host. With ``mesh``, each chunk is sharded
+    over the mesh's data axis (local top-k per device, merged survivors
+    exchanged over ICI).
     """
     import jax.numpy as jnp
 
     y_t = np.asarray(y_target, np.float32).reshape(1, -1)
     k = min(n + 2, y.shape[0])  # +1 for the dropped nearest, +1 for threshold
-    chunk_topk = _chunk_topk_fn(k)
+    chunk_topk = _chunk_topk_fn(k, mesh)
+    n_dev = mesh.shape["data"] if mesh is not None else 1
 
     best_d, best_i = [], []
     for start in range(0, y.shape[0], device_chunk):
-        yc = jnp.asarray(y[start : start + device_chunk])
-        d, i = chunk_topk(yc, jnp.asarray(y_t))
+        yc = np.asarray(y[start : start + device_chunk], np.float32)
+        if mesh is not None:
+            yc = _pad_pool_rows(yc, n_dev)
+        d, i = chunk_topk(jnp.asarray(yc), jnp.asarray(y_t))
         best_d.append(np.asarray(d))
         best_i.append(np.asarray(i) + start)
     d = np.concatenate(best_d)
     i = np.concatenate(best_i)
+    if mesh is not None:  # drop pad-row survivors (tiny pools only)
+        valid = i < y.shape[0]
+        d, i = d[valid], i[valid]
     order = np.argsort(d, kind="stable")[1 : k]  # drop single nearest (:93)
     sel = i[order][:n]
     threshold = float(d[order[n]]) if len(order) > n else float(d[order[-1]])

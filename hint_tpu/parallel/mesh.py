@@ -31,3 +31,25 @@ def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def mesh_size(mesh: Mesh, axis: str = "data") -> int:
+    return mesh.shape[axis]
+
+
+def pad_rows(arr: jax.Array, multiple: int, value: float = 0.0):
+    """Pad axis 0 up to a multiple (batch-sharded dims must divide the mesh
+    axis size). Returns (padded, original_n)."""
+    n = arr.shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return arr, n
+    import jax.numpy as jnp
+
+    filler = jnp.full((pad,) + arr.shape[1:], value, arr.dtype)
+    return jnp.concatenate([arr, filler], axis=0), n
+
+
+def shard_batch(arr, mesh: Mesh, axis: str = "data"):
+    """device_put with the batch sharding (axis 0 over the mesh axis)."""
+    return jax.device_put(arr, batch_sharding(mesh, axis))

@@ -41,6 +41,78 @@ def test_dp_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
 
 
+def test_eval_epoch_matches_single_device():
+    """Sharded full-batch eval must equal the single-device eval."""
+    m = builders.hint(dim=12, n_blocks=2, c_internal=(16, 8))
+    kwargs = dict(model=m, kind=UNCONDITIONAL, batch_size=32, max_batches_per_epoch=2)
+    tr_single = Trainer(**kwargs)
+    tr_dp = Trainer(mesh=make_mesh(8), **kwargs)
+    state = tr_single.init_state(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 12))
+    key = jax.random.PRNGKey(2)
+    t_s = tr_single.eval_epoch(state.params, x, None, key, full_batch=True)
+    t_d = tr_dp.eval_epoch(state.params, x, None, key, full_batch=True)
+    np.testing.assert_allclose(np.asarray(t_d), np.asarray(t_s), atol=1e-5)
+
+
+def test_sample_model_sharded_matches_single_device():
+    """Sharded sampling is bit-compatible: same key -> same samples, incl. a
+    row count that does not divide the mesh (exercises padding)."""
+    from hint_tpu.evaluation.sampling import sample_model
+
+    cfg = get_config("plus_shape.unconditional_hint_4_1")
+    trainer = cfg.make_trainer()
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    mesh = make_mesh(8)
+    for n in (16, 11):
+        key = jax.random.PRNGKey(7)
+        xs = np.asarray(sample_model(cfg, trainer.model, state.params, n, key))
+        xd = np.asarray(sample_model(cfg, trainer.model, state.params, n, key, mesh=mesh))
+        assert xd.shape == (n, cfg.ndim_x)
+        np.testing.assert_allclose(xd, xs, atol=1e-5)
+
+
+def test_sample_conditional_hint_sharded_matches():
+    from hint_tpu.evaluation.sampling import sample_model
+
+    cfg = get_config("lens_shape.conditional_hint_1_full")
+    trainer = cfg.make_trainer()
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    mesh = make_mesh(8)
+    key = jax.random.PRNGKey(3)
+    yt = np.asarray(cfg.vis_y_target, np.float32)
+    xs = np.asarray(sample_model(cfg, trainer.model, state.params, 16, key, y_target=yt))
+    xd = np.asarray(
+        sample_model(cfg, trainer.model, state.params, 16, key, y_target=yt, mesh=mesh)
+    )
+    np.testing.assert_allclose(xd, xs, atol=1e-5)
+
+
+def test_quantile_abc_sharded_matches_single_device():
+    from hint_tpu.evaluation.abc import quantile_ABC
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1000, 20)).astype(np.float32)
+    y = rng.standard_normal((1000, 2)).astype(np.float32)
+    yt = y[3]
+    gt_s, thr_s = quantile_ABC(x, y, yt, n=50)
+    # non-divisible chunking exercises the pad-rows path
+    gt_d, thr_d = quantile_ABC(x, y, yt, n=50, device_chunk=333, mesh=make_mesh(8))
+    np.testing.assert_allclose(gt_d, gt_s, atol=0)
+    assert abs(thr_d - thr_s) < 1e-6
+
+
+def test_multi_mmd_sharded_matches_single_device():
+    from hint_tpu.evaluation.mmd import multi_mmd
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((64, 20)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((64, 20)).astype(np.float32))
+    m_s = float(multi_mmd(x, y))
+    m_d = float(multi_mmd(x, y, mesh=make_mesh(8)))
+    assert abs(m_d - m_s) < 1e-5
+
+
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
