@@ -6,7 +6,7 @@ baseline re-measure brackets the run. Produces the evidence for the Pallas
 win-or-retire decision (round-1 VERDICT #2/#3).
 
 Stages (argv[1]):
-  steps   - interleaved medians: levelwise-f32 / pallas-f32 / levelwise-bf16
+  steps   - interleaved medians: levelwise-f32 / fused-f32 / levelwise-bf16
             full step + forward-only + grad-only at batch 10000; batch sweep
   trace   - jax.profiler trace of 30 levelwise-f32 steps (artifacts/trace/)
 """
@@ -29,9 +29,9 @@ os.makedirs("artifacts", exist_ok=True)
 NAME = "plus_shape.unconditional_hint_4_full"
 
 
-def build(batch, dtype, impl):
+def build(batch, dtype, impl, remat):
     cfg = dataclasses.replace(get_config(NAME), batch_size=batch)
-    tr = cfg.make_trainer(compute_dtype=dtype, impl=impl)
+    tr = cfg.make_trainer(compute_dtype=dtype, impl=impl, remat=remat)
     state = tr.init_state(jax.random.PRNGKey(0))
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, cfg.ndim_x), jnp.float32)
     y = jnp.zeros((batch, 0), jnp.float32)
@@ -41,14 +41,15 @@ def build(batch, dtype, impl):
 
 
 class Variant:
-    """One (impl, dtype) variant with step / fwd / grad callables."""
+    """One (impl, dtype, remat) variant with step / fwd / inv / grad callables."""
 
-    def __init__(self, batch, dtype, impl):
-        self.name = f"{impl}-{dtype}-b{batch}"
-        tr, self.state, self.x, self.y, self.lr, self.keys = build(batch, dtype, impl)
+    def __init__(self, batch, dtype, impl, remat=True):
+        self.name = f"{impl}-{dtype}-b{batch}" + ("" if remat else "-noremat")
+        tr, self.state, self.x, self.y, self.lr, self.keys = build(batch, dtype, impl, remat)
         self.tr = tr
         model = tr.model
         self._fwd = jax.jit(lambda p, xx: model.forward(p, xx))
+        self._inv = jax.jit(lambda p, zz: model.inverse(p, zz))
 
         def loss(p, xx):
             z, ld = model.forward(p, xx)
@@ -66,6 +67,9 @@ class Variant:
 
     def fwd(self):
         return self._fwd(self.state.params, self.x)
+
+    def inv(self):
+        return self._inv(self.state.params, self.x)
 
     def grad(self):
         return self._grad(self.state.params, self.x)
@@ -95,11 +99,12 @@ def stage_steps():
     out = {}
     variants = [
         Variant(10000, "float32", "levelwise"),
-        Variant(10000, "float32", "pallas"),
+        Variant(10000, "float32", "levelwise", remat=False),
+        Variant(10000, "float32", "fused"),
         Variant(10000, "bfloat16", "levelwise"),
-        Variant(10000, "bfloat16", "pallas"),
+        Variant(10000, "bfloat16", "fused"),
     ]
-    for attr in ("step", "fwd", "grad"):
+    for attr in ("step", "fwd", "inv", "grad"):
         med = interleaved(variants, attr)
         for k, v in med.items():
             out.setdefault(k, {})[attr + "_ms"] = v * 1e3

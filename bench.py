@@ -28,7 +28,7 @@ import time
 BATCH = int(os.environ.get("HINT_TPU_BENCH_BATCH", 10000))
 STEPS = int(os.environ.get("HINT_TPU_BENCH_STEPS", 30))
 REF_STEPS = int(os.environ.get("HINT_TPU_BENCH_REF_STEPS", 3))
-IMPL = os.environ.get("HINT_TPU_BENCH_IMPL", "levelwise")  # levelwise | pallas
+IMPL = os.environ.get("HINT_TPU_BENCH_IMPL", "levelwise")  # levelwise | fused
 FLAGSHIP = "plus_shape.unconditional_hint_4_full"
 
 

@@ -26,7 +26,7 @@ def _add_common(p):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
                    help="matmul compute dtype (params stay float32)")
-    p.add_argument("--impl", default="levelwise", choices=["levelwise", "reference", "pallas"],
+    p.add_argument("--impl", default="levelwise", choices=["levelwise", "reference", "fused"],
                    help="HAC engine (pallas = experimental fused kernel)")
     p.add_argument("--lr-semantics", default="legacy", choices=["legacy", "modern"],
                    help="post-warmup StepLR behavior: 'legacy' = torch-1.x closed form "

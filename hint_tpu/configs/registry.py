@@ -148,12 +148,18 @@ class Config:
         compute_dtype: str = "float32",
         impl: str = "levelwise",
         lr_semantics: str = "legacy",
+        remat: bool = True,
     ):
         from hint_tpu.train.trainer import Trainer
 
+        model = self.build_model(compute_dtype=compute_dtype, impl=impl)
+        if remat:
+            from hint_tpu.models.flow import with_remat
+
+            model = with_remat(model)
         return Trainer(
             lr_semantics=lr_semantics,
-            model=self.build_model(compute_dtype=compute_dtype, impl=impl),
+            model=model,
             kind=self.kind,
             lr_init=self.lr_init,
             pre_low_lr=self.pre_low_lr,

@@ -269,16 +269,17 @@ def compare_unconditional(
     sample_size: int = 4000,
     abc_dir: str = "abc",
     run: int = 0,
-    rng: Optional[np.random.Generator] = None,
+    seed: int = 0,
     verbose: bool = True,
 ) -> Dict[str, Dict[str, list]]:
     """MMD of each model's prior samples vs held-out true prior samples
     (rejection_sampling.py:135-165). ``samplers[name](z) -> x`` inverts the
-    shared latent batch."""
-    rng = rng or np.random.default_rng(0)
+    shared latent batch. Draws are derived per run index from ``seed`` so an
+    interrupted sweep resumes with identical latents."""
     x = np.load(os.path.join(abc_dir, f"{data_model.name}_x_huge.npy"), mmap_mode="r")
     out = {name: {"times": [], "mmds": [], "rejects": []} for name in samplers}
     for i in range(n_runs):
+        rng = np.random.default_rng((seed, i))
         sel = rng.choice(x.shape[0], sample_size, replace=False)
         gt = np.ascontiguousarray(x[np.sort(sel)])
         z = rng.standard_normal((sample_size, data_model.n_parameters)).astype(np.float32)
@@ -303,21 +304,39 @@ def compare_conditional(
     sample_size: int = 4000,
     abc_dir: str = "abc",
     run: int = 0,
-    rng: Optional[np.random.Generator] = None,
+    seed: int = 0,
     verbose: bool = True,
+    checkpoint_every: int = 50,
 ) -> Dict[str, Dict[str, list]]:
     """Per-target posterior MMD vs quantile-ABC ground truth + forward-process
     distance (rejection_sampling.py:168-213). ``samplers[name](y_tiled, z) ->
-    x``. GT posteriors cache to abc/{name}/{i:05}.pkl, reference layout."""
+    x``. GT posteriors cache to abc/{name}/{i:05}.pkl, reference layout.
+
+    Multi-hour at reference scale (1000 targets x all models), so progress
+    checkpoints to ``<output>.partial`` every ``checkpoint_every`` targets and
+    resumes from it; the shared latents are derived per target index from
+    ``seed``, so a resumed sweep is identical to an uninterrupted one.
+    """
     from hint_tpu.evaluation.metrics import mean_target_distance
 
-    rng = rng or np.random.default_rng(0)
     x = np.load(os.path.join(abc_dir, f"{data_model.name}_x_huge.npy"), mmap_mode="r")
     y = np.load(os.path.join(abc_dir, f"{data_model.name}_y_huge.npy"), mmap_mode="r")
     gt_dir = os.path.join(abc_dir, data_model.name)
     os.makedirs(gt_dir, exist_ok=True)
+    final_path = os.path.join(abc_dir, f"{data_model.name}_conditional_comparison_{run}.pkl")
+    part_path = final_path + ".partial"
     out = {name: {"times": [], "mmds": [], "dists": [], "rejects": []} for name in samplers}
-    for i in range(n_runs):
+    start = 0
+    if os.path.exists(part_path):
+        try:
+            with open(part_path, "rb") as f:
+                saved = pickle.load(f)
+            if set(saved) == set(out):
+                out = saved
+                start = len(next(iter(out.values()))["mmds"])
+        except Exception:
+            pass
+    for i in range(start, n_runs):
         f_gt = os.path.join(gt_dir, f"{i:05}.pkl")
         try:
             with open(f_gt, "rb") as f:
@@ -328,7 +347,9 @@ def compare_conditional(
             gt_sample, threshold = quantile_ABC(x, y, y_target[0], n=sample_size)
             with open(f_gt, "wb") as f:
                 pickle.dump((y_target, gt_sample, threshold), f)
-        z = rng.standard_normal((sample_size, data_model.n_parameters)).astype(np.float32)
+        z = np.random.default_rng((seed, i)).standard_normal(
+            (sample_size, data_model.n_parameters)
+        ).astype(np.float32)
         y_tiled = np.broadcast_to(
             np.asarray(y_target, np.float32).reshape(1, -1), (sample_size, data_model.n_observations)
         )
@@ -351,7 +372,12 @@ def compare_conditional(
                 print(f"run {i + 1}/{n_runs} {name}: mmd={out[name]['mmds'][-1]:.5f} "
                       f"dist={out[name]['dists'][-1]:.5f} rej={rej:.3f} "
                       f"({out[name]['times'][-1]:.3f}s)")
-    _dump_comparison(out, os.path.join(abc_dir, f"{data_model.name}_conditional_comparison_{run}.pkl"))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            _dump_comparison(out, part_path)
+            print(f"compare_conditional: {i + 1}/{n_runs} targets", flush=True)
+    _dump_comparison(out, final_path)
+    if os.path.exists(part_path):
+        os.remove(part_path)
     return out
 
 

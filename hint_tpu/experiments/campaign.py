@@ -242,14 +242,12 @@ def stage_compare(
     if kind == "unconditional":
         compare_unconditional(
             dm, samplers, n_runs=n_runs or 100, sample_size=sample_size,
-            abc_dir=abc_dir, run=run, rng=np.random.default_rng(1000 + run),
-            verbose=False,
+            abc_dir=abc_dir, run=run, seed=1000 + run, verbose=False,
         )
     else:
         compare_conditional(
             dm, samplers, n_runs=n_runs or 1000, sample_size=sample_size,
-            abc_dir=abc_dir, run=run, rng=np.random.default_rng(2000 + run),
-            verbose=False,
+            abc_dir=abc_dir, run=run, seed=2000 + run, verbose=False,
         )
     print(f"compare {family}/{kind} run {run}: done")
 

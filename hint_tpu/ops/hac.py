@@ -118,7 +118,15 @@ class HierarchicalAffineCoupling(Bijector):
     min_split_size: int = 2
     reshuffle: bool = False
     compute_dtype: str = "float32"
-    impl: str = "levelwise"  # "levelwise" | "reference" | "pallas"
+    # "levelwise": level-synchronous batched einsums (XLA fast path);
+    # "reference": direct transcription of the recursion (correctness oracle);
+    # "fused": whole-block Pallas kernel — the entire tree's weights stay
+    #   VMEM-resident and every level's activations never touch HBM
+    #   (hint_tpu.ops.pallas_block). The earlier per-*level* kernel was
+    #   retired after profiling showed it did ~6.7x the XLA forward's HBM
+    #   traffic (artifacts/profile_cost.json) — fusing less than the whole
+    #   block cannot win when the bottleneck is inter-level traffic.
+    impl: str = "levelwise"
 
     # -- static structure ---------------------------------------------------
 
@@ -211,11 +219,19 @@ class HierarchicalAffineCoupling(Bijector):
     def forward(self, params: Params, x: Array, cond: Optional[Array] = None):
         if self.impl == "reference":
             return self._forward_recursive(params, self.tree, x, cond, rev=False)
+        if self.impl == "fused":
+            from hint_tpu.ops.pallas_block import fused_block
+
+            return fused_block(self, params, x, cond, False)
         return self._forward_levelwise(params, x, cond)
 
     def inverse(self, params: Params, y: Array, cond: Optional[Array] = None):
         if self.impl == "reference":
             return self._forward_recursive(params, self.tree, y, cond, rev=True)
+        if self.impl == "fused":
+            from hint_tpu.ops.pallas_block import fused_block
+
+            return fused_block(self, params, y, cond, True)
         return self._inverse_levelwise(params, y, cond)
 
     # -- levelwise engine (TPU fast path) ------------------------------------------
@@ -236,24 +252,6 @@ class HierarchicalAffineCoupling(Bijector):
         xs = jnp.concatenate([xs, xs], axis=0)  # (2n, B, in_max + cond)
 
         mask = jnp.asarray(lv.out_mask)
-        # Fused kernel only where it wins: wide hiddens amortize the kernel
-        # launch and fill MXU lanes; deep levels (many tiny subnets) are
-        # better served by XLA's batched einsum (measured on v5e: an
-        # all-pallas tree is 5x slower than all-XLA; hybrid keeps the
-        # HBM-traffic win on the wide levels without the tiny-level tax).
-        if self.impl == "pallas" and lv.hidden >= 128 and len(lv.nodes) <= 8:
-            # fused VMEM-resident 3-layer stack (hint_tpu.ops.pallas_hac);
-            # interpret-mode off the TPU so tests stay runnable anywhere
-            from hint_tpu.ops.pallas_hac import fused_level_mlp, st_from_fused
-
-            interpret = jax.default_backend() not in ("tpu",)
-            mask2 = jnp.concatenate([mask, mask], axis=0)  # one mask per stacked subnet
-            out = fused_level_mlp(
-                xs, p["w0"], p["b0"], p["w1"], p["b1"], p["w2"], p["b2"], mask2,
-                interpret=interpret,
-            )
-            return st_from_fused(out)
-
         cdt = jnp.dtype(self.compute_dtype)
         prec = jax.lax.Precision.HIGHEST if cdt == jnp.float32 else jax.lax.Precision.DEFAULT
 

@@ -109,11 +109,55 @@ def test_compare_unconditional_smoke(tmp_path):
     }
     out = abc_mod.compare_unconditional(
         model, samplers, n_runs=2, sample_size=64, abc_dir=abc_dir, verbose=False,
-        rng=np.random.default_rng(7),
+        seed=7,
     )
     assert len(out["identity"]["mmds"]) == 2
     # x_huge is N(0,I) so the identity sampler must beat the offset one
     assert np.mean(out["identity"]["mmds"]) < np.mean(out["offset"]["mmds"])
+
+
+def test_compare_conditional_resume(tmp_path):
+    """The multi-hour conditional sweep checkpoints partial progress and a
+    resumed run (a) skips finished targets and (b) draws the same per-target
+    latents as an uninterrupted sweep."""
+    import shutil
+
+    model = LensShapeModel()
+    abc_dir = str(tmp_path)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((300, model.n_parameters)).astype(np.float32)
+    y = rng.standard_normal((300, model.n_observations)).astype(np.float32)
+    np.save(tmp_path / f"{model.name}_x_huge.npy", x)
+    np.save(tmp_path / f"{model.name}_y_huge.npy", y)
+
+    calls = []
+
+    def sampler(y_tiled, z):
+        calls.append(z.copy())
+        return np.asarray(z)
+
+    full = abc_mod.compare_conditional(
+        model, {"m": sampler}, n_runs=2, sample_size=32, abc_dir=abc_dir,
+        run=0, seed=5, verbose=False, checkpoint_every=1,
+    )
+    z_full = [c.copy() for c in calls]
+    assert len(full["m"]["mmds"]) == 2
+
+    # simulate an interruption after target 0: partial with 1 finished target
+    calls.clear()
+    partial = {"m": {k: v[:1] for k, v in full["m"].items()}}
+    with open(tmp_path / f"{model.name}_conditional_comparison_1.pkl.partial", "wb") as f:
+        import pickle
+
+        pickle.dump(partial, f)
+    resumed = abc_mod.compare_conditional(
+        model, {"m": sampler}, n_runs=2, sample_size=32, abc_dir=abc_dir,
+        run=1, seed=5, verbose=False, checkpoint_every=1,
+    )
+    assert len(calls) == 1  # only the unfinished target ran
+    np.testing.assert_allclose(calls[0], z_full[1])  # same latent stream
+    assert len(resumed["m"]["mmds"]) == 2
+    assert not (tmp_path / f"{model.name}_conditional_comparison_1.pkl.partial").exists()
 
 
 def test_accumulate_metrics(tmp_path):

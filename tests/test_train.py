@@ -286,3 +286,42 @@ def test_eval_nll_x_two_lane():
     s2 = tr2.init_state(jax.random.PRNGKey(4))
     _, nx2 = tr2.eval_epoch(s2.params, x, None, jax.random.PRNGKey(5), return_nll_x=True)
     assert np.isnan(nx2)
+
+
+def test_remat_step_matches_plain():
+    """with_remat is math-identical: same init, same batch, same noise key
+    -> same updated params and loss terms as the non-remat model."""
+    from hint_tpu.models.flow import with_remat
+
+    m = builders.hint(dim=12, n_blocks=2, c_internal=(16, 8))
+    kwargs = dict(kind=UNCONDITIONAL, batch_size=32, max_batches_per_epoch=1,
+                  l2_weight_reg=1.86e-5)
+    tr_a = Trainer(model=m, **kwargs)
+    tr_b = Trainer(model=with_remat(m), **kwargs)
+    state_a = tr_a.init_state(jax.random.PRNGKey(0))
+    state_b = tr_b.init_state(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (32, 12))
+    y = jnp.zeros((32, 0))
+    key, lr = jax.random.PRNGKey(2), jnp.asarray(1e-3)
+    new_a, terms_a = tr_a.step_fn(state_a, x, y, key, lr)
+    new_b, terms_b = tr_b.step_fn(state_b, x, y, key, lr)
+    np.testing.assert_allclose(np.asarray(terms_b), np.asarray(terms_a), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(new_a.params), jax.tree.leaves(new_b.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
+
+
+def test_remat_scanned_matches_plain():
+    from hint_tpu.models.flow import with_remat
+
+    m = builders.hint(dim=8, n_blocks=3, c_internal=(16,), scan_blocks=True)
+    params = m.init(jax.random.PRNGKey(3))
+    x = jax.random.normal(jax.random.PRNGKey(4), (16, 8))
+
+    def nll(model, p):
+        z, ld = model.forward(p, x)
+        return 0.5 * jnp.sum(z**2, axis=1).mean() - ld.mean()
+
+    g_a = jax.grad(lambda p: nll(m, p))(params)
+    g_b = jax.grad(lambda p: nll(with_remat(m), p))(params)
+    for a, b in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
