@@ -253,13 +253,18 @@ def stage_compare(
 
 
 def stage_shapes(
-    family: str, n: int = 1000, seeds=(0, 1, 2), dtype: str = "float32"
+    family: str, n: int = 1000, seeds=(0, 1, 2), dtype: str = "float32",
+    cache_dir: str = "data",
 ) -> None:
     """Reference-scale shape scoring (n=1000 samples per config, IoU / DICE /
-    Hausdorff — run_experiments.py:115,135-167), per seed, honest reporting:
-    non-finite curves are dropped and counted, never resampled."""
+    Hausdorff — run_experiments.py:115,135-167) plus the correlation-matrix
+    MSE vs the dataset ground truth (run_experiments.py:211-221), per seed;
+    honest reporting: non-finite curves are dropped and counted, never
+    resampled."""
     import jax
 
+    from hint_tpu.configs import get_config
+    from hint_tpu.evaluation.metrics import correlation_mse
     from hint_tpu.evaluation.sampling import sample_model
     from hint_tpu.experiments.drivers import _score_shapes
 
@@ -271,6 +276,10 @@ def stage_shapes(
         out = {}
     dm = _data_model(family)
     fam_key = "lens" if family == "lens" else "plus"
+    # GT correlation from the cached training set (the reference caches the
+    # dataset-example corr via plot_data.py:61-63; same estimator, more rows)
+    (x_tr, _), _ = get_config(family_configs(family)[0]).load_data(cache_dir)
+    gt_corr = np.corrcoef(np.asarray(x_tr[:100_000]).T)
     for config in family_configs(family):
         for seed in seeds:
             key = f"{config}|s{seed}"
@@ -286,10 +295,15 @@ def stage_shapes(
             )
             ok = np.isfinite(x).all(axis=1) & (np.abs(x).max(axis=1) < 1e3)
             metrics = _score_shapes(dm, x, fam_key)
+            corr_mse = (
+                correlation_mse(x[ok], gt_corr) if ok.sum() >= 3 and not cfg.is_conditional
+                else float("nan")
+            )
             out[key] = {
                 "iou": float(metrics[0]), "dice": float(metrics[1]),
                 "max_h": float(metrics[2]), "avg_h": float(metrics[3]),
                 "n": n, "reject_rate": float(1 - ok.mean()),
+                "corr_mse": corr_mse,
                 "seconds": time.time() - t0,
             }
             with open(out_path, "w") as f:
@@ -323,6 +337,21 @@ def stage_report(abc_dir: str = "abc") -> str:
             f"| {np.mean(lls):.4f} ± {np.std(lls):.4f} |"
         )
     lines.append("")
+
+    # bf16-vs-f32 quality (VERDICT round-1 #6): same configs, same budget
+    bf16 = {}
+    for key, rec in sorted(log.items()):
+        if key.endswith("|bfloat16"):
+            bf16.setdefault(key.split("|")[0], []).append(rec)
+    if bf16:
+        lines += ["## bfloat16 vs float32 final test loss (equal budget, 3 seeds)", "",
+                  "| config | f32 loss | bf16 loss | delta |", "|---|---|---|---|"]
+        for config, recs in sorted(bf16.items()):
+            b = np.mean([r["final_test_loss"] for r in recs])
+            f_recs = by_cfg.get(config)
+            f = np.mean([r["final_test_loss"] for r in f_recs]) if f_recs else float("nan")
+            lines.append(f"| {config} | {f:.3f} | {b:.3f} | {b - f:+.3f} |")
+        lines.append("")
 
     # MMD comparisons
     for (family, kind), configs in MODEL_SETS.items():
@@ -364,14 +393,16 @@ def stage_report(abc_dir: str = "abc") -> str:
         for key, rec in shp.items():
             by_cfg.setdefault(key.split("|")[0], []).append(rec)
         lines += [f"## {family} shape fit (n=1000 curves, 3 seeds)", "",
-                  "| config | IoU | DICE | max H | avg H | reject |",
-                  "|---|---|---|---|---|---|"]
+                  "| config | IoU | DICE | max H | avg H | reject | corr MSE |",
+                  "|---|---|---|---|---|---|---|"]
         for config, recs in sorted(by_cfg.items()):
             def ms(k):
-                vals = [r[k] for r in recs]
+                vals = [r.get(k, float("nan")) for r in recs]
+                if np.all(np.isnan(vals)):
+                    return "—"
                 return f"{np.nanmean(vals):.3f} ± {np.nanstd(vals):.3f}"
             lines.append(f"| {config} | {ms('iou')} | {ms('dice')} | {ms('max_h')} "
-                         f"| {ms('avg_h')} | {ms('reject_rate')} |")
+                         f"| {ms('avg_h')} | {ms('reject_rate')} | {ms('corr_mse')} |")
         lines.append("")
 
     report = "\n".join(lines)
