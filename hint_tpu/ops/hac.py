@@ -249,22 +249,27 @@ class HierarchicalAffineCoupling(Bijector):
         )
         if self.cond_dim > 0:
             xs = jnp.concatenate([xs, jnp.broadcast_to(cond[None], (n,) + cond.shape)], axis=-1)
-        xs = jnp.concatenate([xs, xs], axis=0)  # (2n, B, in_max + cond)
-
+        # s- and t-subnets share the input stack: contract xs once against
+        # the (2, n, in, h) view of the weight stack instead of materializing
+        # a doubled (2n, B, in) input buffer in HBM (the step is HBM-bound —
+        # docs/perf.md)
         mask = jnp.asarray(lv.out_mask)
         cdt = jnp.dtype(self.compute_dtype)
         prec = jax.lax.Precision.HIGHEST if cdt == jnp.float32 else jax.lax.Precision.DEFAULT
 
-        def mm(a, w):
+        def two(w):
+            return w.reshape((2, n) + w.shape[1:])
+
+        def mm(a, w, spec):
             return jnp.einsum(
-                "nbi,nio->nbo", a.astype(cdt), w.astype(cdt),
+                spec, a.astype(cdt), w.astype(cdt),
                 preferred_element_type=jnp.float32, precision=prec,
             )
 
-        h = jax.nn.relu(mm(xs, p["w0"]) + p["b0"][:, None, :])
-        h = jax.nn.relu(mm(h, p["w1"]) + p["b1"][:, None, :])
-        h = mm(h, p["w2"]) + p["b2"][:, None, :]
-        return h[:n] * mask, h[n:] * mask
+        h = jax.nn.relu(mm(xs, two(p["w0"]), "nbi,snio->snbo") + two(p["b0"])[:, :, None, :])
+        h = jax.nn.relu(mm(h, two(p["w1"]), "snbi,snio->snbo") + two(p["b1"])[:, :, None, :])
+        h = mm(h, two(p["w2"]), "snbi,snio->snbo") + two(p["b2"])[:, :, None, :]
+        return h[0] * mask, h[1] * mask
 
     def _couple_level(self, params: Params, lv: _Level, x: Array, cond, rev: bool):
         """Apply (or invert) all couplings of one level; returns (x', logdet)."""
