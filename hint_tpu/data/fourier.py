@@ -138,19 +138,38 @@ class LensShapeModel(FourierCurveModel):
         features = np.empty((len(points), 2), points.dtype)
         chunk = max(1, 2**21 // (n * n))  # ~200 curves/chunk: L2-sized temps
         for s in range(0, len(points), chunk):
-            # separable direct-difference distances, f64 + sqrt to match
-            # scipy.pdist bit-for-bit: the traced curve is closed, so the
-            # first and last points coincide and the max-distance pair is
-            # *exactly* tied — the argmax must break ties in the reference's
-            # precision and row-major order or the feature flips sign
-            p = points[s : s + chunk].astype(np.float64)
-            dx = p[:, :, None, 0] - p[:, None, :, 0]
-            dy = p[:, :, None, 1] - p[:, None, :, 1]
-            d2 = np.sqrt(dx * dx + dy * dy)
-            flat_idx = d2.reshape(len(p), -1).argmax(axis=1)
+            # Two passes. Screen: f32 squared distances (cheap). A curve is
+            # "safe" when its top-two squared distances are separated by more
+            # than f32 error — then the f32 argmax equals the reference's.
+            # Ambiguous curves (≈ the ~4% whose diameter touches the
+            # duplicated endpoint of the closed curve, which ties EXACTLY)
+            # are re-done in f64 + sqrt, bit-matching scipy.pdist's value and
+            # row-major first-max tie-break — a tie broken the other way
+            # flips the feature's sign, so exactness matters there.
+            p32 = points[s : s + chunk]
+            dx = p32[:, :, None, 0] - p32[:, None, :, 0]
+            dy = p32[:, :, None, 1] - p32[:, None, :, 1]
+            d2 = dx * dx + dy * dy
+            # the matrix is symmetric: every max ties its mirror exactly.
+            # The reference's row-major first-max always lands on the upper
+            # triangle (i < j), so mask the rest before screening.
+            d2[:, ~np.triu(np.ones((n, n), bool), 1)] = -np.inf
+            flat = d2.reshape(len(p32), -1)
+            flat_idx = flat.argmax(axis=1)
+            rows = np.arange(len(p32))
+            top = flat[rows, flat_idx]
+            flat[rows, flat_idx] = -np.inf
+            second = flat.max(axis=1)
+            ambiguous = (top - second) <= 1e-4 * top
             i0, i1 = np.unravel_index(flat_idx, (n, n))
-            rows = np.arange(len(p))
-            delta = p[rows, i1] - p[rows, i0]
+            for r in np.nonzero(ambiguous)[0]:
+                q = points[s + r].astype(np.float64)
+                dq = np.sqrt(
+                    (q[:, None, 0] - q[None, :, 0]) ** 2
+                    + (q[:, None, 1] - q[None, :, 1]) ** 2
+                )
+                i0[r], i1[r] = np.unravel_index(dq.argmax(), (n, n))
+            delta = p32[rows, i1].astype(np.float64) - p32[rows, i0].astype(np.float64)
             features[s : s + chunk, 0] = delta[:, 1]
             features[s : s + chunk, 1] = delta[:, 0]
         return features + noise * randn(*features.shape)

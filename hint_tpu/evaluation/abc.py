@@ -162,7 +162,7 @@ def _pad_pool_rows(yc: np.ndarray, multiple: int) -> np.ndarray:
 
 def quantile_ABC(
     x: np.ndarray, y: np.ndarray, y_target: np.ndarray, n: int = 4000,
-    device_chunk: int = 4_000_000, mesh=None,
+    device_chunk: int = 16_000_000, mesh=None,
 ) -> Tuple[np.ndarray, float]:
     """The ``n`` prior samples whose observations are closest to ``y_target``
     (excluding the single closest, matching the reference's ``[1:]`` slice —
@@ -172,19 +172,29 @@ def quantile_ABC(
     per-chunk survivors return to host. With ``mesh``, each chunk is sharded
     over the mesh's data axis (local top-k per device, merged survivors
     exchanged over ICI).
+
+    ``y`` may be a device (jax) array: chunks then slice ON device with no
+    host transfer. Callers looping many targets against one pool should
+    upload it once (an 80 MB pool re-uploaded per target dominates the
+    sweep through the tunnel) — compare_conditional does.
     """
+    import jax
     import jax.numpy as jnp
 
     y_t = np.asarray(y_target, np.float32).reshape(1, -1)
     k = min(n + 2, y.shape[0])  # +1 for the dropped nearest, +1 for threshold
     chunk_topk = _chunk_topk_fn(k, mesh)
     n_dev = mesh.shape["data"] if mesh is not None else 1
+    on_device = isinstance(y, jax.Array)
 
     best_d, best_i = [], []
     for start in range(0, y.shape[0], device_chunk):
-        yc = np.asarray(y[start : start + device_chunk], np.float32)
+        if on_device:
+            yc = y[start : start + device_chunk]
+        else:
+            yc = np.asarray(y[start : start + device_chunk], np.float32)
         if mesh is not None:
-            yc = _pad_pool_rows(yc, n_dev)
+            yc = _pad_pool_rows(np.asarray(yc), n_dev)
         d, i = chunk_topk(jnp.asarray(yc), jnp.asarray(y_t))
         best_d.append(np.asarray(d))
         best_i.append(np.asarray(i) + start)
@@ -317,10 +327,15 @@ def compare_conditional(
     resumes from it; the shared latents are derived per target index from
     ``seed``, so a resumed sweep is identical to an uninterrupted one.
     """
+    import jax.numpy as jnp
+
     from hint_tpu.evaluation.metrics import mean_target_distance
 
     x = np.load(os.path.join(abc_dir, f"{data_model.name}_x_huge.npy"), mmap_mode="r")
     y = np.load(os.path.join(abc_dir, f"{data_model.name}_y_huge.npy"), mmap_mode="r")
+    # observation pool device-resident across all targets (tiny vs HBM;
+    # re-uploading ~80 MB per quantile-ABC call dominated the sweep)
+    y = jnp.asarray(np.asarray(y, np.float32))
     gt_dir = os.path.join(abc_dir, data_model.name)
     os.makedirs(gt_dir, exist_ok=True)
     final_path = os.path.join(abc_dir, f"{data_model.name}_conditional_comparison_{run}.pkl")

@@ -54,7 +54,10 @@ def multi_mmd(
             xs = shard_batch(jnp.asarray(x), mesh)
             ys = shard_batch(jnp.asarray(y), mesh)
             return _mmd_jit(tuple(widths_exponents))(xs, ys)
-    return _mmd_impl(x, y, tuple(widths_exponents))
+    # single jit call (not eager): the eager path dispatches ~20 ops, each
+    # paying a tunnel round-trip — 0.5 s/call vs ~ms jitted. Hot loop:
+    # 8 models x 1000 targets x 3 runs in the conditional comparison.
+    return _mmd_jit(tuple(widths_exponents))(jnp.asarray(x), jnp.asarray(y))
 
 
 def _mmd_impl(x, y, widths_exponents):

@@ -233,9 +233,16 @@ def stage_compare(
     dtype: str = "float32",
 ) -> None:
     """One comparison sweep for training-run index ``run`` — all models of
-    (family, kind) trained with seed=run, against the family's ABC pool."""
+    (family, kind) trained with seed=run, against the family's ABC pool.
+    Idempotent: skips when the final comparison pickle exists."""
     from hint_tpu.evaluation.abc import compare_conditional, compare_unconditional
 
+    final = os.path.join(
+        abc_dir, f"{DATA_MODEL_NAME[family]}_{kind}_comparison_{run}.pkl"
+    )
+    if os.path.exists(final):
+        print(f"compare {family}/{kind} run {run}: cached")
+        return
     configs = MODEL_SETS[(family, kind)]
     samplers = make_samplers(configs, run, dtype)
     dm = _data_model(family)
