@@ -35,6 +35,10 @@ class FourierCurveModel(ABC):
     n_parameters = 4  # must be an uneven number times four
     n_observations = 1
     name = ""
+    # True when forward_process maps x to the model's actual observation
+    # space; the plus shape's forward map is only defined at generation time
+    # (labels from generate_plus_shape(forward=True), data.py:224-225)
+    has_forward_process = True
 
     def flatten_coeffs(self, coeffs: np.ndarray) -> np.ndarray:
         batch_size = coeffs.shape[0]
@@ -178,6 +182,7 @@ class LensShapeModel(FourierCurveModel):
 class PlusShapeModel(FourierCurveModel):
     n_parameters = 4 * 25  # 25 complex 2d Fourier coefficients
     n_observations = 4
+    has_forward_process = False  # forward_process estimates centers only
     name = "plus-shape"
 
     def densify_polyline(self, coords: np.ndarray, max_dist: float = 0.2) -> np.ndarray:

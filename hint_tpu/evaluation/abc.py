@@ -358,7 +358,12 @@ def compare_conditional(
                 y_target, gt_sample, threshold = pickle.load(f)
             assert gt_sample.shape[0] >= sample_size
         except Exception:
-            y_target = data_model.forward_process(data_model.sample_prior(1)).astype(np.float32)
+            # draw the observation via the joint sampler, not forward_process:
+            # the plus-shape forward map is only defined at generation time
+            # (labels from generate_plus_shape(forward=True), data.py:224-225;
+            # its forward_process is a center-only estimate of the wrong dim)
+            _, y_label = data_model.sample_joint(1)
+            y_target = np.asarray(y_label, np.float32)
             gt_sample, threshold = quantile_ABC(x, y, y_target[0], n=sample_size)
             with open(f_gt, "wb") as f:
                 pickle.dump((y_target, gt_sample, threshold), f)
@@ -376,11 +381,14 @@ def compare_conditional(
             out[name]["mmds"].append(mmd)
             out[name]["rejects"].append(rej)
             ok = np.isfinite(sample).all(axis=1)
+            # forward-process distance only where the model defines a true
+            # forward map (lens; the plus forward map exists only at
+            # generation time — has_forward_process=False)
             out[name]["dists"].append(
                 mean_target_distance(
                     data_model, np.asarray(y_target).reshape(-1), sample[ok]
                 )
-                if ok.any()
+                if ok.any() and getattr(data_model, "has_forward_process", True)
                 else float("nan")
             )
             if verbose:

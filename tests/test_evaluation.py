@@ -160,6 +160,27 @@ def test_compare_conditional_resume(tmp_path):
     assert not (tmp_path / f"{model.name}_conditional_comparison_1.pkl.partial").exists()
 
 
+def test_compare_conditional_plus_shape(tmp_path):
+    """Plus-shape targets must come from the joint sampler (its
+    forward_process is a center-only estimate of the wrong dimension) and the
+    forward-distance metric must be skipped (NaN), not crash."""
+    from hint_tpu.data.fourier import PlusShapeModel
+
+    model = PlusShapeModel()
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((200, model.n_parameters)).astype(np.float32)
+    y = rng.standard_normal((200, model.n_observations)).astype(np.float32)
+    np.save(tmp_path / f"{model.name}_x_huge.npy", x)
+    np.save(tmp_path / f"{model.name}_y_huge.npy", y)
+    out = abc_mod.compare_conditional(
+        model, {"m": lambda yt, z: np.asarray(z)}, n_runs=2, sample_size=16,
+        abc_dir=str(tmp_path), run=0, seed=1, verbose=False, checkpoint_every=0,
+    )
+    assert len(out["m"]["mmds"]) == 2
+    assert np.isfinite(out["m"]["mmds"]).all()
+    assert np.isnan(out["m"]["dists"]).all()  # no true forward map for plus
+
+
 def test_accumulate_metrics(tmp_path):
     import pickle
 
