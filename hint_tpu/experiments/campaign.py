@@ -382,7 +382,11 @@ def stage_report(abc_dir: str = "abc") -> str:
                   f"(mean ± std over training runs)", "",
                   "| model | MMD | reject rate | y-distance |", "|---|---|---|---|"]
         for cfg_name, r in sorted(rows.items()):
-            d = (f"{np.nanmean(r['dists']):.4f}" if r["dists"] else "—")
+            d = (
+                f"{np.nanmean(r['dists']):.4f}"
+                if r["dists"] and np.isfinite(np.nanmean(r["dists"]))
+                else "—"
+            )
             lines.append(
                 f"| {cfg_name} | {np.nanmean(r['mmds']):.4f} ± {np.nanstd(r['mmds']):.4f} "
                 f"| {np.mean(r['rej']):.4f} | {d} |"
