@@ -16,6 +16,7 @@ Env knobs:
     HINT_TPU_BENCH_STEPS     timed JAX steps            (default 30)
     HINT_TPU_BENCH_REF_STEPS timed torch steps          (default 3)
     HINT_TPU_BENCH_BATCH     batch size                 (default 10000)
+    HINT_TPU_BENCH_DTYPE     compute dtype              (default bfloat16)
 """
 
 from __future__ import annotations
@@ -29,6 +30,11 @@ BATCH = int(os.environ.get("HINT_TPU_BENCH_BATCH", 10000))
 STEPS = int(os.environ.get("HINT_TPU_BENCH_STEPS", 30))
 REF_STEPS = int(os.environ.get("HINT_TPU_BENCH_REF_STEPS", 3))
 IMPL = os.environ.get("HINT_TPU_BENCH_IMPL", "levelwise")  # levelwise | fused
+# bfloat16 by default: quality-validated at equal budget against f32 on the
+# flagship (3 seeds, campaign train_log: -365.0+-1.2 bf16 vs -364.3+-2.0 f32 -
+# within seed noise), and the fastest engine measured (docs/perf.md). The
+# torch-CPU baseline stays f32 (the reference's precision).
+DTYPE = os.environ.get("HINT_TPU_BENCH_DTYPE", "bfloat16")
 FLAGSHIP = "plus_shape.unconditional_hint_4_full"
 
 
@@ -47,7 +53,7 @@ def bench_jax() -> float:
     enable_compilation_cache()
 
     cfg = get_config(FLAGSHIP)
-    trainer = cfg.make_trainer(impl=IMPL)
+    trainer = cfg.make_trainer(impl=IMPL, compute_dtype=DTYPE)
     trainer.batch_size = BATCH
     state = trainer.init_state(jax.random.PRNGKey(0))
     x = jax.random.normal(jax.random.PRNGKey(1), (BATCH, cfg.ndim_x), jnp.float32)
