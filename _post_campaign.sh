@@ -1,23 +1,22 @@
 #!/bin/bash
-# Post-campaign TPU sequence: the stage the main script missed (plus
-# conditional run 0 crashed before the target-draw fix), bf16 MMD quality
-# check, final report, then the flagship perf profile.
+# Remaining campaign stages + perf profile (resumable, one TPU process).
 set -x
 cd /root/repo
 export PYTHONUNBUFFERED=1
 
+python -m hint_tpu.experiments.campaign shapes --family lens --n 1000
+python -m hint_tpu.experiments.campaign shapes --family plus --n 1000
 python -m hint_tpu.experiments.campaign compare --family plus --kind conditional --run 0
 
 # bf16 flagship prior-MMD quality (VERDICT #6: NLL and MMD within f32 noise)
 python - <<'EOF'
-import numpy as np
+import os
 from hint_tpu.experiments.campaign import make_samplers
 from hint_tpu.evaluation.abc import compare_unconditional
 from hint_tpu.data.fourier import PlusShapeModel
 
 for seed in (0, 1, 2):
     for dtype, run in (("bfloat16", 100 + seed), ("float32", 200 + seed)):
-        import os
         out = f"abc/plus-shape_unconditional_comparison_{run}.pkl"
         if os.path.exists(out):
             continue

@@ -300,6 +300,85 @@ def hausdorff_lens(params: np.ndarray, points: np.ndarray):
     return geometry.hausdorff(lens, points)
 
 
+# -- batched device scoring --------------------------------------------------------
+#
+# The per-curve scorers above make one eager JAX call per curve (a tunnel
+# round-trip each) and rasterize on the host (~1 s/curve at 512²) — at the
+# campaign scale (1000 curves x 48 entries) that is hours. The batch
+# versions compute every outline in one jitted call and run the even-odd
+# rasterization on the accelerator (identical crossing-number semantics to
+# geometry.points_in_polygon; f32 on device vs the host's f64 can move the
+# odd boundary pixel — <0.5% of a 512² raster).
+
+
+def lens_outlines_batch(params: np.ndarray) -> np.ndarray:
+    """(B, P, 2) lens outlines for a (B, 4) parameter batch."""
+    f = jax.jit(jax.vmap(lens_points, in_axes=(None, 0)))
+    return np.asarray(f(jnp.asarray(lens_prototype()), jnp.asarray(params, jnp.float32)))
+
+
+def plus_outlines_batch(params: np.ndarray) -> np.ndarray:
+    """(B, 12, 2) plus corner outlines for a (B, 9) parameter batch."""
+    f = jax.jit(jax.vmap(plus_segments))
+    return np.asarray(f(jnp.asarray(params, jnp.float32)))[:, :, 0, :]
+
+
+def _even_odd_inside(px, py, poly):
+    x0, y0 = poly[:, 0], poly[:, 1]
+    x1, y1 = jnp.roll(x0, -1), jnp.roll(y0, -1)
+
+    def body(i, cnt):
+        cond = (y0[i] <= py) != (y1[i] <= py)
+        x_int = x0[i] + (py - y0[i]) * (x1[i] - x0[i]) / (y1[i] - y0[i])
+        return cnt + (cond & (px < x_int))
+
+    cnt = jax.lax.fori_loop(0, poly.shape[0], body, jnp.zeros(px.shape, jnp.int32))
+    return (cnt % 2) == 1
+
+
+def _iou_dice_one(poly_a, poly_b, resolution):
+    lo = jnp.minimum(poly_a.min(axis=0), poly_b.min(axis=0)) - 1e-6
+    hi = jnp.maximum(poly_a.max(axis=0), poly_b.max(axis=0)) + 1e-6
+    xs = jnp.linspace(lo[0], hi[0], resolution)
+    ys = jnp.linspace(lo[1], hi[1], resolution)
+    gx, gy = jnp.meshgrid(xs, ys)
+    px, py = gx.ravel(), gy.ravel()
+    in_a = _even_odd_inside(px, py, poly_a)
+    in_b = _even_odd_inside(px, py, poly_b)
+    inter = jnp.sum(in_a & in_b).astype(jnp.float32)
+    union = jnp.sum(in_a | in_b).astype(jnp.float32)
+    a_area = jnp.sum(in_a).astype(jnp.float32)
+    b_area = jnp.sum(in_b).astype(jnp.float32)
+    iou = jnp.where(union == 0, 0.0, inter / jnp.maximum(union, 1.0))
+    dice = jnp.where(union == 0, 0.0, 2.0 * inter / jnp.maximum(a_area + b_area, 1.0))
+    return iou, dice
+
+
+@functools.partial(jax.jit, static_argnames=("resolution",))
+def _iou_dice_chunk(pa, pb, resolution):
+    return jax.vmap(lambda a, b: _iou_dice_one(a, b, resolution))(pa, pb)
+
+
+def iou_and_dice_batch(
+    polys_a: np.ndarray, polys_b: np.ndarray, resolution: int = 512, chunk: int = 32
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Rasterized IoU/DICE for a batch of (fitted outline, curve) pairs on
+    the accelerator. polys_a (B, Ma, 2), polys_b (B, Mb, 2)."""
+    ious, dices = [], []
+    B = len(polys_a)
+    for s in range(0, B, chunk):
+        a = np.asarray(polys_a[s : s + chunk], np.float32)
+        b = np.asarray(polys_b[s : s + chunk], np.float32)
+        pad = chunk - len(a)
+        if pad:  # keep one compiled shape
+            a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+            b = np.concatenate([b, np.repeat(b[-1:], pad, axis=0)])
+        i, d = _iou_dice_chunk(jnp.asarray(a), jnp.asarray(b), resolution)
+        ious.append(np.asarray(i)[: chunk - pad])
+        dices.append(np.asarray(d)[: chunk - pad])
+    return np.concatenate(ious), np.concatenate(dices)
+
+
 # -- self-checks (reference demo entry points, best_shape_fit.py:160-191,281-313) --
 
 

@@ -76,6 +76,7 @@ def _draw_sample(cfg, trainer, state, n: int, seed: int) -> np.ndarray:
 def _score_shapes(data_model, sample_flat: np.ndarray, family: str) -> np.ndarray:
     """Mean [IoU, DICE, max_h, avg_h] over sampled curves using the vmapped
     batch fitters."""
+    from hint_tpu.data import geometry
     from hint_tpu.evaluation import shape_fit
 
     coeffs = data_model.unflatten_coeffs(sample_flat)
@@ -90,19 +91,30 @@ def _score_shapes(data_model, sample_flat: np.ndarray, family: str) -> np.ndarra
     curves, dense = curves[ok], dense[ok]
     if family == "lens":
         params = shape_fit.fit_lens_shapes_batch(curves)
-        iou_dice, haus = shape_fit.iou_and_dice_lens, shape_fit.hausdorff_lens
     else:
         params = shape_fit.fit_plus_shapes_batch(curves)
-        iou_dice, haus = shape_fit.iou_and_dice_plus, shape_fit.hausdorff_plus
-    per = []
-    for j in range(len(curves)):
-        if not np.isfinite(params[j]).all():
-            continue  # all restarts diverged for this curve
-        per.append(iou_dice(params[j], curves[j]) + haus(params[j], dense[j]))
-    if not per:  # nothing scoreable: keep the (4,) contract with NaNs
+    fit_ok = np.isfinite(params).all(axis=1)  # all restarts diverged otherwise
+    if not fit_ok.any():
         print("shape scoring: no scoreable curves (all dropped or diverged)")
         return np.full(4, np.nan)
-    arr = np.asarray(per)  # (B_ok, 4): iou, dice, max_h, avg_h
+    params, curves, dense = params[fit_ok], curves[fit_ok], dense[fit_ok]
+    # outlines in one jitted call, IoU/DICE rasterized on the accelerator
+    # (the per-curve eager-call + host-raster path costs ~1 s/curve; see
+    # shape_fit batched-scoring note); Hausdorff stays host-side (cheap).
+    if family == "lens":
+        outlines = shape_fit.lens_outlines_batch(params)
+        dense_outline = lambda o: o
+    else:
+        from hint_tpu.data.fourier import PlusShapeModel
+
+        _pm = PlusShapeModel()
+        outlines = shape_fit.plus_outlines_batch(params)
+        dense_outline = lambda o: _pm.densify_polyline(o, max_dist=0.02)
+    iou, dice = shape_fit.iou_and_dice_batch(outlines, curves)
+    haus = np.asarray(
+        [geometry.hausdorff(dense_outline(outlines[j]), dense[j]) for j in range(len(curves))]
+    )
+    arr = np.concatenate([iou[:, None], dice[:, None], haus], axis=1)
     return arr.mean(axis=0)
 
 
