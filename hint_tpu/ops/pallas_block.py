@@ -46,6 +46,31 @@ from hint_tpu.ops.clamp import ATAN_SCALE  # 0.636, truncated as in hint.py:57
 
 DEFAULT_TILE_B = 1024
 
+_TAN_PI_8 = 0.4142135623730950
+_TAN_3PI_8 = 2.414213562373095
+_PI_2 = 1.5707963267948966
+_PI_4 = 0.7853981633974483
+
+
+def _atan(x):
+    """arctan from supported VPU primitives (Mosaic has no atan lowering).
+
+    Cephes ``atanf`` scheme: reduce to |z| ≤ tan(π/8) via the tan(3π/8) and
+    tan(π/8) identities, then a degree-4 minimax polynomial in z² — ~1-ulp
+    f32 accuracy, well inside the 1e-5 parity budget against the XLA
+    engine's exact arctan.
+    """
+    ax = jnp.abs(x)
+    big = ax > _TAN_3PI_8
+    mid = ax > _TAN_PI_8
+    zr = jnp.where(big, -1.0 / ax, jnp.where(mid, (ax - 1.0) / (ax + 1.0), ax))
+    t = zr * zr
+    p = ((8.05374449538e-2 * t - 1.38776856032e-1) * t + 1.99777106478e-1) * t
+    p = p - 3.33329491539e-1
+    y = zr + zr * t * p
+    y = y + jnp.where(big, _PI_2, jnp.where(mid, _PI_4, 0.0))
+    return jnp.sign(x) * y
+
 
 def _round_tile(b: int, want: int) -> int:
     """Largest tile ≤ want that divides b if possible (avoids masked ragged
@@ -94,7 +119,7 @@ def _kernel_factory(hac, B: int, tile_b: int, rev: bool, has_cond: bool, cond_di
                 xu = jax.lax.slice_in_dim(x, nd.offset, nd.offset + nd.split, axis=1)
                 s = mlp(xu, c, w0, b0, w1, b1, w2, b2, i, nd, lv)
                 t = mlp(xu, c, w0, b0, w1, b1, w2, b2, n + i, nd, lv)
-                log_e = clamp * ATAN_SCALE * jnp.arctan(s)
+                log_e = clamp * ATAN_SCALE * _atan(s)
                 lower = jax.lax.slice_in_dim(x, lo, lo + out_i, axis=1)
                 if not rev:
                     new = jnp.exp(log_e) * lower + t
