@@ -44,7 +44,7 @@ import jax.numpy as jnp
 
 from hint_tpu.ops.clamp import ATAN_SCALE  # 0.636, truncated as in hint.py:57
 
-DEFAULT_TILE_B = 1024
+DEFAULT_TILE_B = 256
 
 _TAN_PI_8 = 0.4142135623730950
 _TAN_3PI_8 = 2.414213562373095
@@ -98,13 +98,18 @@ def _kernel_factory(hac, B: int, tile_b: int, rev: bool, has_cond: bool, cond_di
                 a.astype(cdt), w.astype(cdt), preferred_element_type=jnp.float32
             )
 
-        w0 = w0_ref[idx]
+        def wload(ref):
+            # static-slice load + squeeze: int-indexing a 3D ref lowers to a
+            # 3D gather, which Mosaic does not implement
+            return jnp.squeeze(ref[idx : idx + 1, :, :], 0)
+
+        w0 = wload(w0_ref)
         h = dot(xin, w0[: nd.split, :])
         if has_cond:
             h = h + dot(c, w0[lv.in_max : lv.in_max + cond_dim, :])
-        h = jnp.maximum(h + b0_ref[idx][None, :], 0.0)
-        h = jnp.maximum(dot(h, w1_ref[idx]) + b1_ref[idx][None, :], 0.0)
-        return dot(h, w2_ref[idx][:, :out_i]) + b2_ref[idx][None, :out_i]
+        h = jnp.maximum(h + b0_ref[idx : idx + 1, :], 0.0)
+        h = jnp.maximum(dot(h, wload(w1_ref)) + b1_ref[idx : idx + 1, :], 0.0)
+        return dot(h, wload(w2_ref)[:, :out_i]) + b2_ref[idx : idx + 1, :out_i]
 
     def body(x, c, refs):
         ld = jnp.zeros((x.shape[0], 1), jnp.float32)
@@ -127,7 +132,15 @@ def _kernel_factory(hac, B: int, tile_b: int, rev: bool, has_cond: bool, cond_di
                 else:
                     new = (lower - t) * jnp.exp(-log_e)
                     ld = ld - jnp.sum(log_e, axis=1, keepdims=True)
-                x = jax.lax.dynamic_update_slice_in_dim(x, new.astype(x.dtype), lo, axis=1)
+                # static-slice concat (Mosaic lowers lax.slice + concatenate;
+                # dynamic_update_slice on values is unimplemented)
+                pieces = []
+                if lo > 0:
+                    pieces.append(jax.lax.slice_in_dim(x, 0, lo, axis=1))
+                pieces.append(new.astype(x.dtype))
+                if lo + out_i < x.shape[1]:
+                    pieces.append(jax.lax.slice_in_dim(x, lo + out_i, x.shape[1], axis=1))
+                x = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
         return x, ld
 
     if has_cond:
