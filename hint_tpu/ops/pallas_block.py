@@ -93,9 +93,19 @@ def _kernel_factory(hac, B: int, tile_b: int, rev: bool, has_cond: bool, cond_di
         """One subnet (3-layer ReLU MLP) for node ``nd``, stack row ``idx``."""
         out_i = nd.dim - nd.split
 
+        # HIGHEST pins full-f32 MXU passes for f32 compute — without it the
+        # MXU multiplies in bf16 and the error compounds through the
+        # exp-coupling chain (measured 0.33 abs on the flagship forward)
+        prec = (
+            jax.lax.Precision.HIGHEST
+            if cdt == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+
         def dot(a, w):
             return jnp.dot(
-                a.astype(cdt), w.astype(cdt), preferred_element_type=jnp.float32
+                a.astype(cdt), w.astype(cdt),
+                preferred_element_type=jnp.float32, precision=prec,
             )
 
         def wload(ref):
