@@ -10,7 +10,7 @@ processes, so every comparison must be in-process):
 * derived: achieved FLOP/s vs v5e peak, achieved bytes/s vs HBM peak —
   whichever ratio is high names the bottleneck; if both are low the step is
   latency/serialization-bound (long dependent chain of small ops);
-* the same for impl="pallas" (hybrid gate) so the Pallas decision
+* the same for impl="fused" (whole-block kernel) so the Pallas decision
   (VERDICT next-round #2) rests on numbers.
 
 Writes artifacts/profile_cost.json.
@@ -86,7 +86,7 @@ def main():
     print("devices:", jax.devices(), flush=True)
     results = {"batch": B}
     for dtype in ("float32", "bfloat16"):
-        for impl in ("levelwise", "pallas"):
+        for impl in ("levelwise", "fused"):
             cfg = get_config(FLAGSHIP)
             trainer = cfg.make_trainer(compute_dtype=dtype, impl=impl)
             model = trainer.model

@@ -185,6 +185,10 @@ def main():
                 "value": round(jax_sps, 3),
                 "unit": "steps/s",
                 "vs_baseline": ratio,
+                # headline-comparison context: the JAX compute dtype (the
+                # torch baseline is always f32) and the HAC engine measured
+                "dtype": DTYPE,
+                "impl": IMPL,
             },
             allow_nan=False,
         )

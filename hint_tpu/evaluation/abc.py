@@ -150,14 +150,22 @@ def _chunk_topk_fn(k: int, mesh=None):
     return jax.jit(chunk_topk, in_shardings=(batch, repl), out_shardings=(repl, repl))
 
 
-def _pad_pool_rows(yc: np.ndarray, multiple: int) -> np.ndarray:
-    """Pad an observation chunk to a shardable row count with far-away rows
-    (distance ~1e30 — never in the top-k as long as k <= true rows)."""
+def _pad_pool_rows(yc, multiple: int):
+    """Pad an observation chunk to a shardable row count with far-away rows.
+
+    Pad magnitude 1e15: squared distances (~1e30) stay finite in float32, so
+    pad rows sort strictly after every true row instead of relying on inf
+    compares. Device (jax) chunks are padded with jnp ops so a
+    device-resident pool never round-trips through the host."""
     pad = (-yc.shape[0]) % multiple
     if pad == 0:
         return yc
-    filler = np.full((pad, yc.shape[1]), 1e30, yc.dtype)
-    return np.concatenate([yc, filler], axis=0)
+    import jax
+    import jax.numpy as jnp
+
+    xp = jnp if isinstance(yc, jax.Array) else np
+    filler = xp.full((pad, yc.shape[1]), 1e15, yc.dtype)
+    return xp.concatenate([yc, filler], axis=0)
 
 
 def quantile_ABC(
@@ -194,7 +202,7 @@ def quantile_ABC(
         else:
             yc = np.asarray(y[start : start + device_chunk], np.float32)
         if mesh is not None:
-            yc = _pad_pool_rows(np.asarray(yc), n_dev)
+            yc = _pad_pool_rows(yc, n_dev)
         d, i = chunk_topk(jnp.asarray(yc), jnp.asarray(y_t))
         best_d.append(np.asarray(d))
         best_i.append(np.asarray(i) + start)

@@ -19,14 +19,19 @@ import jax.numpy as jnp
 
 from hint_tpu.models.flow import Flow, TwoLaneFlow
 
-# jitted inverse/sampler per (model id, tag): models live for the process, so
-# keying on id() is safe and keeps sample_model calls from re-tracing
+# jitted inverse/sampler per (model, tag): models are frozen dataclasses, so
+# equal configs share one compiled entry even across fresh instances (a
+# campaign building a model per config/seed re-hits instead of leaking), and
+# a size cap bounds the worst case
 _JIT_CACHE = {}
+_JIT_CACHE_MAX = 256
 
 
 def _cached_jit(model, tag: str, fn):
-    key = (id(model), tag)
+    key = (model, tag)
     if key not in _JIT_CACHE:
+        if len(_JIT_CACHE) >= _JIT_CACHE_MAX:
+            _JIT_CACHE.clear()
         _JIT_CACHE[key] = jax.jit(fn)
     return _JIT_CACHE[key]
 

@@ -216,7 +216,18 @@ class HierarchicalAffineCoupling(Bijector):
 
     # -- public API -------------------------------------------------------------
 
+    _IMPLS = ("levelwise", "reference", "fused")
+
+    def _check_impl(self):
+        # explicit validation: a typo'd/retired impl string (e.g. the old
+        # "pallas") must fail loudly, not silently measure levelwise
+        if self.impl not in self._IMPLS:
+            raise ValueError(
+                f"unknown HAC impl {self.impl!r}; expected one of {self._IMPLS}"
+            )
+
     def forward(self, params: Params, x: Array, cond: Optional[Array] = None):
+        self._check_impl()
         if self.impl == "reference":
             return self._forward_recursive(params, self.tree, x, cond, rev=False)
         if self.impl == "fused":
@@ -226,6 +237,7 @@ class HierarchicalAffineCoupling(Bijector):
         return self._forward_levelwise(params, x, cond)
 
     def inverse(self, params: Params, y: Array, cond: Optional[Array] = None):
+        self._check_impl()
         if self.impl == "reference":
             return self._forward_recursive(params, self.tree, y, cond, rev=True)
         if self.impl == "fused":
