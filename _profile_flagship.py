@@ -32,7 +32,11 @@ NAME = "plus_shape.unconditional_hint_4_full"
 def build(batch, dtype, impl, remat):
     cfg = dataclasses.replace(get_config(NAME), batch_size=batch)
     tr = cfg.make_trainer(compute_dtype=dtype, impl=impl, remat=remat)
-    state = tr.init_state(jax.random.PRNGKey(0))
+    # init on host CPU (eager init through the axon tunnel costs minutes of
+    # per-op RTT), then one bulk transfer to the chip
+    with jax.default_device(jax.devices("cpu")[0]):
+        state = tr.init_state(jax.random.PRNGKey(0))
+    state = jax.device_put(state, jax.devices()[0])
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, cfg.ndim_x), jnp.float32)
     y = jnp.zeros((batch, 0), jnp.float32)
     lr = jnp.asarray(1e-3, jnp.float32)

@@ -56,6 +56,23 @@ class TrainState(NamedTuple):
     epoch: jax.Array
 
 
+def _host_cpu_device():
+    """The host CPU device, force-registering the CPU platform if the
+    session pinned ``jax_platforms`` to an accelerator plugin only (the axon
+    tunnel does). Eager init through a tunnel costs minutes of per-op RTT;
+    falling back to the accelerator device is the last resort."""
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        try:
+            current = jax.config.jax_platforms or jax.default_backend()
+            if "cpu" not in current.split(","):
+                jax.config.update("jax_platforms", current + ",cpu")
+            return jax.devices("cpu")[0]
+        except Exception:
+            return jax.devices()[0]
+
+
 def nll_terms(z: jax.Array, logdet: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """The two loss terms ['-log p(z)', '-log |det(J)|']."""
     return 0.5 * jnp.sum(z**2, axis=1).mean(), -logdet.mean()
@@ -99,10 +116,7 @@ class Trainer:
         # thousands of tiny ops — compiling it (minutes of XLA time) or
         # dispatching it op-by-op to the TPU both waste time; eager CPU takes
         # seconds and the params transfer once.
-        try:
-            cpu = jax.devices("cpu")[0]
-        except RuntimeError:  # platform without a CPU backend (e.g. axon plugin)
-            cpu = jax.devices()[0]
+        cpu = _host_cpu_device()
         with jax.default_device(cpu):
             k_init, k_scale = jax.random.split(key)
             params = self.model.init(k_init)
