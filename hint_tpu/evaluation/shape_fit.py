@@ -249,25 +249,46 @@ def fit_lens_shape_to_points(points: np.ndarray) -> np.ndarray:
 # -- batched fitting (TPU-first: one program for all curves) ---------------------
 
 
-def fit_plus_shapes_batch(curves: np.ndarray) -> np.ndarray:
+def _shard_fit_inputs(curves, angles, mesh):
+    """Shard the curve batch over the mesh's data axis (fits are
+    embarrassingly parallel over curves; XLA partitions the vmapped fit
+    along the input sharding). Returns (curves, angles, original_n)."""
+    from hint_tpu.parallel import pad_rows, shard_batch
+
+    n_dev = mesh.shape["data"]
+    curves, n = pad_rows(curves, n_dev)
+    angles, _ = pad_rows(angles, n_dev)
+    return shard_batch(curves, mesh), shard_batch(angles, mesh), n
+
+
+def fit_plus_shapes_batch(curves: np.ndarray, mesh=None) -> np.ndarray:
     """Fit many (B, N, 2) curves at once: vmap over curves × restarts.
 
     RANSAC init angles are host-side (tiny); the 400-step optimization of
-    B·9 restarts runs as one device program.
+    B·9 restarts runs as one device program. With ``mesh``, curves are
+    sharded over the mesh's data axis and the fit runs data-parallel.
     """
     angles = np.array([dominant_angle_ransac(c) for c in curves], np.float32)
     fit = jax.jit(jax.vmap(lambda p, a: _fit_plus_restarts(p, a)))
-    params, losses = fit(jnp.asarray(curves, jnp.float32), jnp.asarray(angles))
-    params, losses = np.asarray(params), np.asarray(losses)
-    return np.stack([_select_restart(params[i], losses[i]) for i in range(len(curves))])
+    cj, aj = jnp.asarray(curves, jnp.float32), jnp.asarray(angles)
+    n = len(curves)
+    if mesh is not None:
+        cj, aj, n = _shard_fit_inputs(cj, aj, mesh)
+    params, losses = fit(cj, aj)
+    params, losses = np.asarray(params)[:n], np.asarray(losses)[:n]
+    return np.stack([_select_restart(params[i], losses[i]) for i in range(n)])
 
 
-def fit_lens_shapes_batch(curves: np.ndarray) -> np.ndarray:
+def fit_lens_shapes_batch(curves: np.ndarray, mesh=None) -> np.ndarray:
     angles = np.array([dominant_angle_lens(c) for c in curves], np.float32)
     fit = jax.jit(jax.vmap(lambda p, a: _fit_lens_restarts(p, a)))
-    params, losses = fit(jnp.asarray(curves, jnp.float32), jnp.asarray(angles))
-    params, losses = np.asarray(params), np.asarray(losses)
-    return np.stack([_select_restart(params[i], losses[i]) for i in range(len(curves))])
+    cj, aj = jnp.asarray(curves, jnp.float32), jnp.asarray(angles)
+    n = len(curves)
+    if mesh is not None:
+        cj, aj, n = _shard_fit_inputs(cj, aj, mesh)
+    params, losses = fit(cj, aj)
+    params, losses = np.asarray(params)[:n], np.asarray(losses)[:n]
+    return np.stack([_select_restart(params[i], losses[i]) for i in range(n)])
 
 
 # -- metrics ---------------------------------------------------------------------
@@ -360,10 +381,18 @@ def _iou_dice_chunk(pa, pb, resolution):
 
 
 def iou_and_dice_batch(
-    polys_a: np.ndarray, polys_b: np.ndarray, resolution: int = 512, chunk: int = 32
+    polys_a: np.ndarray, polys_b: np.ndarray, resolution: int = 512, chunk: int = 32,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Rasterized IoU/DICE for a batch of (fitted outline, curve) pairs on
-    the accelerator. polys_a (B, Ma, 2), polys_b (B, Mb, 2)."""
+    the accelerator. polys_a (B, Ma, 2), polys_b (B, Mb, 2). With ``mesh``,
+    each chunk is sharded over the mesh's data axis (chunk is rounded up to
+    a multiple of the axis size)."""
+    if mesh is not None:
+        from hint_tpu.parallel import shard_batch
+
+        n_dev = mesh.shape["data"]
+        chunk = ((chunk + n_dev - 1) // n_dev) * n_dev
     ious, dices = [], []
     B = len(polys_a)
     for s in range(0, B, chunk):
@@ -373,7 +402,10 @@ def iou_and_dice_batch(
         if pad:  # keep one compiled shape
             a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
             b = np.concatenate([b, np.repeat(b[-1:], pad, axis=0)])
-        i, d = _iou_dice_chunk(jnp.asarray(a), jnp.asarray(b), resolution)
+        a, b = jnp.asarray(a), jnp.asarray(b)
+        if mesh is not None:
+            a, b = shard_batch(a, mesh), shard_batch(b, mesh)
+        i, d = _iou_dice_chunk(a, b, resolution)
         ious.append(np.asarray(i)[: chunk - pad])
         dices.append(np.asarray(d)[: chunk - pad])
     return np.concatenate(ious), np.concatenate(dices)

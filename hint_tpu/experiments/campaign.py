@@ -68,6 +68,57 @@ MODEL_SETS = {
 
 DATA_MODEL_NAME = {"lens": "lens-shape1", "plus": "plus-shape"}
 
+# The reference's full plus-shape architecture-ablation train list
+# (/root/reference/run_experiments.py:29-88, the commented-in blocks),
+# in priority order: the depth/width story first (hint_{4,8,16,32}_{0..3,full},
+# inn_{4..32}), then the parameter-matched small/big grids, then the
+# controls (reshuffle/constwidth/lessshrink/_Q) and the conditional extras.
+# Configs already covered by MODEL_SETS are not repeated here.
+ABLATION_GRID = [
+    # depth sweep at default width + matching INNs
+    "plus_shape.unconditional_hint_4_1",
+    "plus_shape.unconditional_hint_8_1",
+    "plus_shape.unconditional_hint_16_1",
+    "plus_shape.unconditional_hint_4_2",
+    "plus_shape.unconditional_hint_8_2",
+    "plus_shape.unconditional_hint_4_3",
+    "plus_shape.unconditional_hint_8_full",
+    "plus_shape.unconditional_inn_8",
+    "plus_shape.unconditional_inn_16",
+    "plus_shape.unconditional_inn_32",
+    # conditional extras (rejection_sampling.py:232 accumulates the _8 pair)
+    "plus_shape.conditional_cinn_8",
+    "plus_shape.conditional_hint_8_full",
+    "plus_shape.conditional_recursive_cinn_4",
+    # parameter-matched small grid
+    "plus_shape.unconditional_hint_4_0_small",
+    "plus_shape.unconditional_hint_8_0_small",
+    "plus_shape.unconditional_hint_16_0_small",
+    "plus_shape.unconditional_hint_32_0_small",
+    "plus_shape.unconditional_hint_4_1_small",
+    "plus_shape.unconditional_hint_8_1_small",
+    "plus_shape.unconditional_hint_16_1_small",
+    "plus_shape.unconditional_hint_4_2_small",
+    "plus_shape.unconditional_hint_8_2_small",
+    "plus_shape.unconditional_hint_4_3_small",
+    # parameter-matched big grid
+    "plus_shape.unconditional_hint_4_0_big",
+    "plus_shape.unconditional_hint_8_0_big",
+    "plus_shape.unconditional_hint_16_0_big",
+    "plus_shape.unconditional_hint_32_0_big",
+    "plus_shape.unconditional_hint_4_1_big",
+    "plus_shape.unconditional_hint_8_1_big",
+    "plus_shape.unconditional_hint_16_1_big",
+    "plus_shape.unconditional_hint_4_2_big",
+    "plus_shape.unconditional_hint_8_2_big",
+    "plus_shape.unconditional_hint_4_3_big",
+    # controls
+    "plus_shape.unconditional_hint_4_3_reshuffle",
+    "plus_shape.unconditional_hint_4_3_constwidth",
+    "plus_shape.unconditional_hint_4_3_lessshrink",
+    "plus_shape.unconditional_inn_4_Q",
+]
+
 
 def family_configs(family: str):
     return MODEL_SETS[(family, "unconditional")] + MODEL_SETS[(family, "conditional")]
@@ -261,7 +312,7 @@ def stage_compare(
 
 def stage_shapes(
     family: str, n: int = 1000, seeds=(0, 1, 2), dtype: str = "float32",
-    cache_dir: str = "data",
+    cache_dir: str = "data", configs=None,
 ) -> None:
     """Reference-scale shape scoring (n=1000 samples per config, IoU / DICE /
     Hausdorff — run_experiments.py:115,135-167) plus the correlation-matrix
@@ -287,7 +338,7 @@ def stage_shapes(
     # dataset-example corr via plot_data.py:61-63; same estimator, more rows)
     (x_tr, _), _ = get_config(family_configs(family)[0]).load_data(cache_dir)
     gt_corr = np.corrcoef(np.asarray(x_tr[:100_000]).T)
-    for config in family_configs(family):
+    for config in configs or family_configs(family):
         for seed in seeds:
             key = f"{config}|s{seed}"
             if key in out:
@@ -318,6 +369,123 @@ def stage_shapes(
             print(f"shapes {key}: iou={out[key]['iou']:.3f} "
                   f"rej={out[key]['reject_rate']:.3f} "
                   f"({out[key]['seconds']:.0f}s)", flush=True)
+
+
+def stage_grid(
+    seeds=(0, 1, 2), n_shapes: int = 1000, max_minutes: Optional[float] = None,
+    configs=None,
+) -> None:
+    """The reference's plus-shape architecture-ablation study
+    (/root/reference/run_experiments.py:29-88 + eval_shapes.py:67-133):
+    train every grid config at its reference budget (3 seeds) and score
+    n=1000 sampled curves, **per config** — train-then-score so every
+    finished config is a complete data point even if the stage is cut
+    short. Idempotent at the (config, seed) level."""
+    t0 = time.time()
+    for config in configs or ABLATION_GRID:
+        if max_minutes and (time.time() - t0) / 60 > max_minutes:
+            print("grid time budget reached; re-invoke to continue")
+            return
+        stage_train("plus", seeds=seeds, configs=[config])
+        stage_shapes("plus", n=n_shapes, seeds=seeds, configs=[config])
+
+
+# the reference's UCI sweep (/root/reference/run_uci_experiments.py:11-26)
+UCI_CONFIGS = [
+    "uci_data.power_hint_4", "uci_data.power_hint_8",
+    "uci_data.power_inn_4", "uci_data.power_inn_8",
+    "uci_data.gas_hint_4", "uci_data.gas_hint_8",
+    "uci_data.gas_inn_4", "uci_data.gas_inn_8",
+    "uci_data.miniboone_hint_4", "uci_data.miniboone_hint_8",
+    "uci_data.miniboone_inn_4", "uci_data.miniboone_inn_8",
+]
+
+# expected real-data layout (data.py:304,358,425 in the reference). The
+# files are not redistributable and this environment has no egress, so the
+# stage checks and skips cleanly until they appear.
+UCI_FILES = {
+    "power": "uci_data/power/data.npy",
+    "gas": "uci_data/gas/ethylene_CO.pickle",
+    "miniboone": "uci_data/miniboone/data.npy",
+}
+
+
+def uci_datasets_present(uci_root: str = ".") -> Dict[str, bool]:
+    return {k: os.path.exists(os.path.join(uci_root, p)) for k, p in UCI_FILES.items()}
+
+
+def stage_uci(
+    uci_root: str = ".", seeds=(0, 1, 2), max_minutes: Optional[float] = None,
+) -> None:
+    """The reference's central quantitative product: the 12-config × 3-run
+    UCI sweep (run_uci_experiments.py:29-53), runnable with ONE command the
+    moment the real data files exist. Skips (with the expected layout) when
+    they don't; idempotent per (config, seed) via train_log.json."""
+    import jax
+
+    from hint_tpu.configs import get_config
+    from hint_tpu.train import checkpoint
+
+    present = uci_datasets_present(uci_root)
+    runnable = [c for c in UCI_CONFIGS if present[c.split(".")[-1].split("_")[0]]]
+    for name, ok in present.items():
+        if not ok:
+            print(f"uci: {name} data missing — expected {UCI_FILES[name]} "
+                  f"under {os.path.abspath(uci_root)}; skipping its configs")
+    if not runnable:
+        print("uci: no datasets present; nothing to do")
+        return
+    os.makedirs(CAMPAIGN_DIR, exist_ok=True)
+    t0 = time.time()
+    for config in runnable:
+        cfg = get_config(config)
+        (x_tr, y_tr), (x_te, y_te) = cfg.load_data(uci_root=uci_root)
+        for seed in seeds:
+            key = f"{config}|s{seed}|float32"
+            path = _ckpt_path(config, seed)
+            log = _read_log()
+            if key in log and os.path.exists(path):
+                continue
+            if max_minutes and (time.time() - t0) / 60 > max_minutes:
+                print("uci stage time budget reached; re-invoke to continue")
+                return
+            import jax.numpy as jnp
+
+            trainer = cfg.make_trainer()
+            t1 = time.time()
+            state, final = trainer.fit(
+                jax.random.PRNGKey(seed), (jnp.asarray(x_tr), None),
+                (jnp.asarray(x_te), None), full_batch_test=True,
+            )
+            checkpoint.save_npz(path, state)
+            log = _read_log()
+            log[key] = {
+                "final_test_loss": float(final),
+                "per_dim_ll": float(-final / cfg.ndim_x),
+                "ll_nats": float(-final - cfg.ndim_x / 2 * np.log(2 * np.pi)),
+                "minutes": (time.time() - t1) / 60,
+                "n_epochs": cfg.n_epochs,
+                "batch_size": cfg.batch_size,
+            }
+            _write_log(log)
+            print(f"{key}: LL={log[key]['ll_nats']:.3f} nats "
+                  f"({log[key]['minutes']:.1f} min)", flush=True)
+
+
+def _grid_key(config: str):
+    """(kind, blocks, depth, size) parsed from a plus-shape config name;
+    depth 9 encodes 'full'."""
+    name = config.split(".")[-1]
+    size = "small" if name.endswith("_small") else "big" if name.endswith("_big") else "base"
+    core = name.removesuffix("_small").removesuffix("_big")
+    parts = core.split("_")
+    if parts[0] == "unconditional" and parts[1] == "hint" and len(parts) >= 4:
+        depth = 9 if parts[3] == "full" else int(parts[3]) if parts[3].isdigit() else None
+        if depth is not None and len(parts) == 4:
+            return ("hint", int(parts[2]), depth, size)
+    if parts[0] == "unconditional" and parts[1] == "inn" and len(parts) == 3:
+        return ("inn", int(parts[2]), 0, size)
+    return None
 
 
 def stage_report(abc_dir: str = "abc") -> str:
@@ -416,6 +584,63 @@ def stage_report(abc_dir: str = "abc") -> str:
                          f"| {ms('avg_h')} | {ms('reject_rate')} | {ms('corr_mse')} |")
         lines.append("")
 
+    # UCI test log-likelihood, the reference's collect_results format
+    # (run_uci_experiments.py:57-76): LL = −loss − (d/2)·ln 2π, mean ± std
+    uci_rows = {}
+    for key, rec in sorted(log.items()):
+        config = key.split("|")[0]
+        if config.startswith("uci_data.") and "ll_nats" in rec:
+            uci_rows.setdefault(config, []).append(rec["ll_nats"])
+    if uci_rows:
+        lines += ["## UCI test log-likelihood (nats, mean ± std over runs)", "",
+                  "| config | LL |", "|---|---|"]
+        for config, lls in sorted(uci_rows.items()):
+            lines.append(f"| {config} | {np.mean(lls):.3f} ± {np.std(lls):.3f} |")
+        lines.append("")
+
+    # architecture-ablation grid: IoU and per-dim LL vs (blocks, recursion
+    # depth), per parameter-matching class — the HINT paper's central study
+    shp_path = os.path.join(CAMPAIGN_DIR, "shapes_plus.json")
+    if os.path.exists(shp_path):
+        with open(shp_path) as f:
+            shp = json.load(f)
+        cells: Dict[tuple, Dict[str, list]] = {}
+        for key, rec in shp.items():
+            gk = _grid_key(key.split("|")[0])
+            if gk is None:
+                continue
+            cells.setdefault(gk, {"iou": [], "ll": []})["iou"].append(rec["iou"])
+        for key, rec in log.items():
+            config, _, dt = key.split("|")
+            if dt != "float32":
+                continue
+            gk = _grid_key(config)
+            if gk in cells:
+                cells[gk]["ll"].append(rec["per_dim_ll"])
+        if cells:
+            depth_label = {0: "0", 1: "1", 2: "2", 3: "3", 9: "full"}
+            for size in ("base", "small", "big"):
+                rows = sorted(
+                    (k for k in cells if k[3] == size), key=lambda k: (k[0], k[1], k[2])
+                )
+                if not rows:
+                    continue
+                lines += [f"## plus-shape architecture ablation — {size} "
+                          f"(IoU / per-dim LL, mean ± std over seeds)", "",
+                          "| model | blocks | depth | IoU | per-dim LL |",
+                          "|---|---|---|---|---|"]
+                for kind, blocks, depth, _ in rows:
+                    c = cells[(kind, blocks, depth, size)]
+                    iou = (f"{np.nanmean(c['iou']):.3f} ± {np.nanstd(c['iou']):.3f}"
+                           if c["iou"] else "—")
+                    ll = (f"{np.mean(c['ll']):.4f} ± {np.std(c['ll']):.4f}"
+                          if c["ll"] else "—")
+                    lines.append(
+                        f"| {kind} | {blocks} | "
+                        f"{depth_label[depth] if kind == 'hint' else '—'} | {iou} | {ll} |"
+                    )
+                lines.append("")
+
     report = "\n".join(lines)
     os.makedirs(CAMPAIGN_DIR, exist_ok=True)
     with open(os.path.join(CAMPAIGN_DIR, "REPORT.md"), "w") as f:
@@ -445,6 +670,16 @@ def main(argv=None):
         if s == "shapes":
             sp.add_argument("--n", type=int, default=1000)
             sp.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+            sp.add_argument("--configs", nargs="*", default=None)
+    gp = sub.add_parser("grid")
+    gp.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    gp.add_argument("--n-shapes", type=int, default=1000)
+    gp.add_argument("--max-minutes", type=float, default=None)
+    gp.add_argument("--configs", nargs="*", default=None)
+    up = sub.add_parser("uci")
+    up.add_argument("--uci-root", default=".")
+    up.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    up.add_argument("--max-minutes", type=float, default=None)
     sub.add_parser("report")
     args = p.parse_args(argv)
 
@@ -461,7 +696,12 @@ def main(argv=None):
     elif args.stage == "compare":
         stage_compare(args.family, args.kind, args.run, args.n_runs, args.sample_size)
     elif args.stage == "shapes":
-        stage_shapes(args.family, args.n, tuple(args.seeds))
+        stage_shapes(args.family, args.n, tuple(args.seeds), configs=args.configs or None)
+    elif args.stage == "grid":
+        stage_grid(tuple(args.seeds), args.n_shapes, args.max_minutes,
+                   configs=args.configs or None)
+    elif args.stage == "uci":
+        stage_uci(args.uci_root, tuple(args.seeds), args.max_minutes)
     elif args.stage == "report":
         stage_report()
 

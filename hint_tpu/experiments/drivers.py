@@ -73,7 +73,7 @@ def _draw_sample(cfg, trainer, state, n: int, seed: int) -> np.ndarray:
     )
 
 
-def _score_shapes(data_model, sample_flat: np.ndarray, family: str) -> np.ndarray:
+def _score_shapes(data_model, sample_flat: np.ndarray, family: str, mesh=None) -> np.ndarray:
     """Mean [IoU, DICE, max_h, avg_h] over sampled curves using the vmapped
     batch fitters."""
     from hint_tpu.data import geometry
@@ -90,9 +90,9 @@ def _score_shapes(data_model, sample_flat: np.ndarray, family: str) -> np.ndarra
         print(f"shape scoring: dropped {n_dropped}/{len(ok)} non-finite/degenerate curves")
     curves, dense = curves[ok], dense[ok]
     if family == "lens":
-        params = shape_fit.fit_lens_shapes_batch(curves)
+        params = shape_fit.fit_lens_shapes_batch(curves, mesh=mesh)
     else:
-        params = shape_fit.fit_plus_shapes_batch(curves)
+        params = shape_fit.fit_plus_shapes_batch(curves, mesh=mesh)
     fit_ok = np.isfinite(params).all(axis=1)  # all restarts diverged otherwise
     if not fit_ok.any():
         print("shape scoring: no scoreable curves (all dropped or diverged)")
@@ -110,7 +110,7 @@ def _score_shapes(data_model, sample_flat: np.ndarray, family: str) -> np.ndarra
         _pm = PlusShapeModel()
         outlines = shape_fit.plus_outlines_batch(params)
         dense_outline = lambda o: _pm.densify_polyline(o, max_dist=0.02)
-    iou, dice = shape_fit.iou_and_dice_batch(outlines, curves)
+    iou, dice = shape_fit.iou_and_dice_batch(outlines, curves, mesh=mesh)
     haus = np.asarray(
         [geometry.hausdorff(dense_outline(outlines[j]), dense[j]) for j in range(len(curves))]
     )

@@ -50,15 +50,30 @@ def _save(fig, out_dir: str, stem: str):
     return path
 
 
+_OUTLINE_ASSET = os.path.join(os.path.dirname(__file__), "assets", "outline.json")
+
+
 def example_outline(n: int = 120, seed: int = 7) -> np.ndarray:
-    """Procedural closed outline in [0,1]² (stand-in for the reference's
-    hand-traced frog silhouette asset, plot_data.py:242-244)."""
-    rng = np.random.default_rng(seed)
-    t = np.linspace(0, 2 * np.pi, n, endpoint=False)
-    r = 0.42 + 0.13 * np.sin(3 * t + 0.7) + 0.08 * np.sin(7 * t + 2.1) + 0.03 * rng.standard_normal(1)
-    x = 0.5 + r * np.cos(t) * (1 + 0.15 * np.sin(2 * t))
-    y = 0.62 + r * np.sin(t) * (1 + 0.1 * np.cos(t))
-    return np.stack([x, y], axis=1)
+    """Closed example outline in [0,1]² for the Fourier-order illustration.
+
+    Loaded from a static traced-outline asset (a duck silhouette,
+    ``monitor/assets/outline.json``) with the same ``{"points": [{"x":..,
+    "y":..}]}`` schema and loading mechanism as the reference's hand-traced
+    frog (plot_data.py:242-244, data/frog.json). Falls back to a procedural
+    outline if the asset is missing."""
+    try:
+        import json
+
+        with open(_OUTLINE_ASSET) as f:
+            points = json.load(f)["points"]
+        return np.array([[p["x"], p["y"]] for p in points])
+    except Exception:
+        rng = np.random.default_rng(seed)
+        t = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        r = 0.42 + 0.13 * np.sin(3 * t + 0.7) + 0.08 * np.sin(7 * t + 2.1) + 0.03 * rng.standard_normal(1)
+        x = 0.5 + r * np.cos(t) * (1 + 0.15 * np.sin(2 * t))
+        y = 0.62 + r * np.sin(t) * (1 + 0.1 * np.cos(t))
+        return np.stack([x, y], axis=1)
 
 
 class _LineDataUnits:

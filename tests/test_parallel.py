@@ -113,6 +113,34 @@ def test_multi_mmd_sharded_matches_single_device():
     assert abs(m_d - m_s) < 1e-5
 
 
+def test_shape_scoring_sharded_matches_single_device():
+    """Sharded fits + raster == unsharded (row count 11 exercises padding)."""
+    from hint_tpu.evaluation import shape_fit
+
+    rng = np.random.default_rng(3)
+    t = np.linspace(0, 2 * np.pi, 64, endpoint=False, dtype=np.float32)
+    curves = np.stack(
+        [
+            np.stack(
+                [np.cos(t) * (1 + 0.05 * rng.standard_normal()),
+                 np.sin(t) * (1 + 0.05 * rng.standard_normal())], axis=1
+            )
+            for _ in range(11)
+        ]
+    ).astype(np.float32)
+    mesh = make_mesh(8)
+    p_s = shape_fit.fit_lens_shapes_batch(curves)
+    p_d = shape_fit.fit_lens_shapes_batch(curves, mesh=mesh)
+    np.testing.assert_allclose(p_d, p_s, atol=1e-5)
+    outlines = shape_fit.lens_outlines_batch(p_s)
+    iou_s, dice_s = shape_fit.iou_and_dice_batch(outlines, curves, resolution=64, chunk=4)
+    iou_d, dice_d = shape_fit.iou_and_dice_batch(
+        outlines, curves, resolution=64, chunk=4, mesh=mesh
+    )
+    np.testing.assert_allclose(iou_d, iou_s, atol=1e-6)
+    np.testing.assert_allclose(dice_d, dice_s, atol=1e-6)
+
+
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
