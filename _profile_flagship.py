@@ -1,19 +1,24 @@
 """Profile the flagship train step on the real chip, tunnel-robustly.
 
-The axon tunnel's throughput varies 20-50x between processes, so every
-comparison here is *interleaved within one process* (A/B/A/B medians), and a
-baseline re-measure brackets the run. Produces the evidence for the Pallas
-win-or-retire decision (round-1 VERDICT #2/#3).
+Timing discipline (hard-won; see docs/perf.md "Measurement discipline"):
+* ``block_until_ready`` is NOT a reliable barrier through the axon tunnel
+  (unchained timings measured 0.15 ms "forwards" — below the HBM floor);
+* the FIRST execution of each program costs ~1-2 min (upload/warmup);
+* per-dispatch overhead (~5-15 ms) rivals the step itself.
+
+So every number here is a SLOPE: a whole epoch of n chained steps runs as
+one ``lax.scan`` program (``Trainer.epoch_fn``), timed at two n's after a
+warmup execution; (wall_hi - wall_lo)/(n_hi - n_lo) cancels the constant
+dispatch+fetch offset exactly. Produces the remat A/B and the
+levelwise-vs-fused train-step evidence (round-2 VERDICT #1/#2).
 
 Stages (argv[1]):
-  steps   - interleaved medians: levelwise-f32 / fused-f32 / levelwise-bf16
-            full step + forward-only + grad-only at batch 10000; batch sweep
-  trace   - jax.profiler trace of 30 levelwise-f32 steps (artifacts/trace/)
+  steps   - ms/step for levelwise-{f32,bf16} x remat on/off + fused-bf16
+  trace   - jax.profiler trace of one scanned epoch (artifacts/trace/)
 """
 import dataclasses
 import json
 import os
-import statistics
 import sys
 import time
 
@@ -27,110 +32,86 @@ enable_compilation_cache()
 os.makedirs("artifacts", exist_ok=True)
 
 NAME = "plus_shape.unconditional_hint_4_full"
+B = 10000
+N_LO, N_HI = 2, 8
 
 
-def build(batch, dtype, impl, remat):
-    cfg = dataclasses.replace(get_config(NAME), batch_size=batch)
+def build(dtype, impl, remat):
+    cfg = dataclasses.replace(get_config(NAME), batch_size=B)
     tr = cfg.make_trainer(compute_dtype=dtype, impl=impl, remat=remat)
-    # init on host CPU (eager init through the axon tunnel costs minutes of
-    # per-op RTT), then one bulk transfer to the chip
     with jax.default_device(jax.devices("cpu")[0]):
         state = tr.init_state(jax.random.PRNGKey(0))
     state = jax.device_put(state, jax.devices()[0])
-    x = jax.random.normal(jax.random.PRNGKey(1), (batch, cfg.ndim_x), jnp.float32)
-    y = jnp.zeros((batch, 0), jnp.float32)
+    k = jax.random.PRNGKey(1)
+    xb = jax.device_put(
+        jax.random.normal(k, (N_HI, B, cfg.ndim_x), jnp.float32), jax.devices()[0]
+    )
+    yb = jnp.zeros((N_HI, B, 0), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(2), N_HI)
     lr = jnp.asarray(1e-3, jnp.float32)
-    keys = jax.random.split(jax.random.PRNGKey(2), 512)
-    return tr, state, x, y, lr, keys
+    return tr, state, xb, yb, keys, lr
 
 
-class Variant:
-    """One (impl, dtype, remat) variant with step / fwd / inv / grad callables."""
-
-    def __init__(self, batch, dtype, impl, remat=True):
-        self.name = f"{impl}-{dtype}-b{batch}" + ("" if remat else "-noremat")
-        tr, self.state, self.x, self.y, self.lr, self.keys = build(batch, dtype, impl, remat)
-        self.tr = tr
-        model = tr.model
-        self._fwd = jax.jit(lambda p, xx: model.forward(p, xx))
-        self._inv = jax.jit(lambda p, zz: model.inverse(p, zz))
-
-        def loss(p, xx):
-            z, ld = model.forward(p, xx)
-            return (0.5 * jnp.sum(z**2, 1) - ld).mean()
-
-        self._grad = jax.jit(jax.grad(loss))
-        self.ki = 0
-
-    def step(self):
-        self.ki += 1
-        self.state, terms = self.tr.step_fn(
-            self.state, self.x, self.y, self.keys[self.ki % 500], self.lr
-        )
-        return terms
-
-    def fwd(self):
-        return self._fwd(self.state.params, self.x)
-
-    def inv(self):
-        return self._inv(self.state.params, self.x)
-
-    def grad(self):
-        return self._grad(self.state.params, self.x)
-
-
-def timeit(fn, n=10):
-    out = fn()
-    jax.block_until_ready(out)  # compile + settle
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
-
-
-def interleaved(variants, attr, n_rounds=5, n_inner=10):
-    """Median-of-rounds per variant, rounds interleaved across variants so
-    tunnel drift hits everyone equally."""
-    times = {v.name: [] for v in variants}
-    for _ in range(n_rounds):
-        for v in variants:
-            times[v.name].append(timeit(getattr(v, attr), n_inner))
-    return {k: statistics.median(ts) for k, ts in times.items()}
+def ms_per_step(tr, state, xb, yb, keys, lr):
+    walls = {}
+    st = state
+    # warmup both program shapes (first execution is ~minutes through the
+    # tunnel and must not be timed)
+    for n in (N_LO, N_HI):
+        st2, terms = tr.epoch_fn(st, xb[:n], yb[:n], keys[:n], lr)
+        float(jnp.sum(terms))
+        st = st2
+    for n in (N_LO, N_HI, N_LO, N_HI, N_LO, N_HI):
+        t0 = time.perf_counter()
+        st, terms = tr.epoch_fn(st, xb[:n], yb[:n], keys[:n], lr)
+        float(jnp.sum(terms))
+        walls.setdefault(n, []).append(time.perf_counter() - t0)
+    return (min(walls[N_HI]) - min(walls[N_LO])) / (N_HI - N_LO) * 1e3
 
 
 def stage_steps():
-    out = {}
+    # merge into any existing results so variants can run one per process
+    # (each costs minutes of compile+warmup through the tunnel)
+    out = {"batch": B, "n_lo": N_LO, "n_hi": N_HI}
+    try:
+        with open("artifacts/profile_steps.json") as f:
+            out.update(json.load(f))
+    except Exception:
+        pass
+    only = sys.argv[2] if len(sys.argv) > 2 else None
     variants = [
-        Variant(10000, "float32", "levelwise"),
-        Variant(10000, "float32", "levelwise", remat=False),
-        Variant(10000, "float32", "fused"),
-        Variant(10000, "bfloat16", "levelwise"),
-        Variant(10000, "bfloat16", "fused"),
+        ("levelwise-float32", "float32", "levelwise", True),
+        ("levelwise-float32-noremat", "float32", "levelwise", False),
+        ("levelwise-bfloat16", "bfloat16", "levelwise", True),
+        ("levelwise-bfloat16-noremat", "bfloat16", "levelwise", False),
+        ("fused-bfloat16", "bfloat16", "fused", True),
     ]
-    for attr in ("step", "fwd", "inv", "grad"):
-        med = interleaved(variants, attr)
-        for k, v in med.items():
-            out.setdefault(k, {})[attr + "_ms"] = v * 1e3
-            print(f"{k} {attr}: {v*1e3:.3f} ms", flush=True)
-    # batch sweep, levelwise f32 (latency-vs-throughput signature)
-    sweep = [Variant(b, "float32", "levelwise") for b in (1000, 40000)]
-    med = interleaved(sweep, "step", n_rounds=3)
-    for k, v in med.items():
-        out.setdefault(k, {})["step_ms"] = v * 1e3
-        print(f"{k} step: {v*1e3:.3f} ms", flush=True)
-    with open("artifacts/profile_steps.json", "w") as f:
-        json.dump(out, f, indent=2)
+    for tag, dtype, impl, remat in variants:
+        if only and only != tag:
+            continue
+        if tag in out:
+            continue
+        try:
+            t0 = time.time()
+            tr, state, xb, yb, keys, lr = build(dtype, impl, remat)
+            ms = ms_per_step(tr, state, xb, yb, keys, lr)
+            out[tag] = {"step_ms": ms, "steps_per_s": 1e3 / ms,
+                        "total_s": time.time() - t0}
+            print(f"{tag}: {ms:.3f} ms/step ({1e3/ms:.1f} steps/s)", flush=True)
+            with open("artifacts/profile_steps.json", "w") as f:
+                json.dump(out, f, indent=2)
+        except Exception as e:
+            print(f"{tag}: FAIL {str(e).splitlines()[0][:160]}", flush=True)
     print(json.dumps(out))
 
 
 def stage_trace():
-    v = Variant(10000, "float32", "levelwise")
-    jax.block_until_ready(v.step())
+    tr, state, xb, yb, keys, lr = build("float32", "levelwise", True)
+    st, terms = tr.epoch_fn(state, xb, yb, keys, lr)  # warmup
+    float(jnp.sum(terms))
     with jax.profiler.trace("artifacts/trace"):
-        for _ in range(30):
-            terms = v.step()
-        jax.block_until_ready(terms)
+        st, terms = tr.epoch_fn(st, xb, yb, keys, lr)
+        float(jnp.sum(terms))
     print("trace written to artifacts/trace")
 
 

@@ -188,6 +188,9 @@ def stage_train(
         x_tr, x_te = jnp.asarray(x_tr), jnp.asarray(x_te)
         y_tr = jnp.asarray(y_tr) if cfg.is_conditional else None
         y_te = jnp.asarray(y_te) if cfg.is_conditional else None
+        trainer = None  # built lazily, shared across seeds: the jitted step
+        # program (and its ~minutes of first-execution warmup through the
+        # tunnel) is paid once per config instead of once per seed
         for seed in seeds:
             path = _ckpt_path(config, seed, dtype)
             key = f"{config}|s{seed}|{dtype}"
@@ -196,7 +199,8 @@ def stage_train(
             if max_minutes and (time.time() - t_stage) / 60 > max_minutes:
                 print("stage time budget reached; re-invoke to continue")
                 return
-            trainer = cfg.make_trainer(compute_dtype=dtype)
+            if trainer is None:
+                trainer = cfg.make_trainer(compute_dtype=dtype)
             t0 = time.time()
             state, final = trainer.fit(
                 jax.random.PRNGKey(seed), (x_tr, y_tr), (x_te, y_te),
