@@ -106,7 +106,9 @@ def stage_steps():
 
 
 def stage_trace():
-    tr, state, xb, yb, keys, lr = build("float32", "levelwise", True)
+    # trace the production configuration (levelwise, remat off — the
+    # round-3 default)
+    tr, state, xb, yb, keys, lr = build("float32", "levelwise", False)
     st, terms = tr.epoch_fn(state, xb, yb, keys, lr)  # warmup
     float(jnp.sum(terms))
     with jax.profiler.trace("artifacts/trace"):

@@ -29,9 +29,11 @@ def _add_common(p):
     p.add_argument("--impl", default="levelwise", choices=["levelwise", "reference", "fused"],
                    help="HAC engine ('fused' = whole-block Pallas kernel, the "
                         "inference engine; 'reference' = recursion-order oracle)")
-    p.add_argument("--no-remat", action="store_true",
-                   help="disable activation rematerialization (on by default; "
-                        "the train step is HBM-bound on stored activations - docs/perf.md)")
+    p.add_argument("--remat", action="store_true",
+                   help="enable activation rematerialization (off by default: the "
+                        "on-chip A/B measured it 11-17%% slower at this model scale; "
+                        "useful only when HBM is the binding constraint - docs/perf.md)")
+    p.add_argument("--no-remat", action="store_true", help=argparse.SUPPRESS)  # legacy no-op
     p.add_argument("--lr-semantics", default="legacy", choices=["legacy", "modern"],
                    help="post-warmup StepLR behavior: 'legacy' = torch-1.x closed form "
                         "(the schedule the reference was written against), 'modern' = "
@@ -70,7 +72,7 @@ def cmd_train(args):
         cfg = type(cfg)(**{**cfg.__dict__, **overrides})
     print(f"config: {cfg.name} (suffix {cfg.suffix})")
     (x_tr, y_tr), (x_te, y_te) = cfg.load_data(args.cache_dir, args.uci_root)
-    trainer = cfg.make_trainer(compute_dtype=args.dtype, impl=args.impl, lr_semantics=args.lr_semantics, remat=not getattr(args, "no_remat", False))
+    trainer = cfg.make_trainer(compute_dtype=args.dtype, impl=args.impl, lr_semantics=args.lr_semantics, remat=getattr(args, "remat", False))
     if args.plot_dir:
         from hint_tpu.monitor import make_monitor
 
@@ -133,7 +135,7 @@ def cmd_evaluate(args):
 
     cfg = get_config(args.config)
     (_, _), (x_te, y_te) = cfg.load_data(args.cache_dir, args.uci_root)
-    trainer = cfg.make_trainer(compute_dtype=args.dtype, impl=args.impl, lr_semantics=args.lr_semantics, remat=not getattr(args, "no_remat", False))
+    trainer = cfg.make_trainer(compute_dtype=args.dtype, impl=args.impl, lr_semantics=args.lr_semantics, remat=getattr(args, "remat", False))
     template = trainer.init_state(jax.random.PRNGKey(args.seed))
     state = checkpoint.load_npz(args.ckpt, template)
     losses, nll_x = trainer.eval_epoch(
@@ -163,7 +165,7 @@ def cmd_sample(args):
     from hint_tpu.train import checkpoint
 
     cfg = get_config(args.config)
-    trainer = cfg.make_trainer(compute_dtype=args.dtype, impl=args.impl, lr_semantics=args.lr_semantics, remat=not getattr(args, "no_remat", False))
+    trainer = cfg.make_trainer(compute_dtype=args.dtype, impl=args.impl, lr_semantics=args.lr_semantics, remat=getattr(args, "remat", False))
     template = trainer.init_state(jax.random.PRNGKey(args.seed))
     state = checkpoint.load_npz(args.ckpt, template)
     y_target = None

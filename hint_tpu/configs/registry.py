@@ -148,7 +148,11 @@ class Config:
         compute_dtype: str = "float32",
         impl: str = "levelwise",
         lr_semantics: str = "legacy",
-        remat: bool = True,
+        # remat default flipped OFF in round 3: slope-timed on-chip A/B
+        # (artifacts/profile_steps.json) measured remat 17% slower at f32
+        # and 11% slower at bf16 — the round-2 "HBM-bound" justification
+        # rested on tunnel-polluted wall numbers (docs/perf.md)
+        remat: bool = False,
     ):
         from hint_tpu.train.trainer import Trainer
 
