@@ -325,3 +325,13 @@ def test_remat_scanned_matches_plain():
     g_b = jax.grad(lambda p: nll(with_remat(m), p))(params)
     for a, b in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
+
+
+def test_remat_off_by_default():
+    """Round-3 default: make_trainer builds a non-remat model; remat=True
+    opts in (on-chip A/B in artifacts/profile_steps.json)."""
+    from hint_tpu.configs import get_config
+
+    cfg = get_config("lens_shape.unconditional_inn_1")
+    assert not cfg.make_trainer().model.remat
+    assert cfg.make_trainer(remat=True).model.remat
