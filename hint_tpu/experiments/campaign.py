@@ -384,14 +384,19 @@ def stage_grid(
     train every grid config at its reference budget (3 seeds) and score
     n=1000 sampled curves, **per config** — train-then-score so every
     finished config is a complete data point even if the stage is cut
-    short. Idempotent at the (config, seed) level."""
+    short. Idempotent at the (config, seed) level.
+
+    Seed-major order: the full grid at seed 0 first (the reference's own
+    protocol — run_experiments.py:10 sets ``n_runs = 1``), then the extra
+    seeds; a cut-short run yields full breadth before extra depth."""
     t0 = time.time()
-    for config in configs or ABLATION_GRID:
-        if max_minutes and (time.time() - t0) / 60 > max_minutes:
-            print("grid time budget reached; re-invoke to continue")
-            return
-        stage_train("plus", seeds=seeds, configs=[config])
-        stage_shapes("plus", n=n_shapes, seeds=seeds, configs=[config])
+    for seed in seeds:
+        for config in configs or ABLATION_GRID:
+            if max_minutes and (time.time() - t0) / 60 > max_minutes:
+                print("grid time budget reached; re-invoke to continue")
+                return
+            stage_train("plus", seeds=(seed,), configs=[config])
+            stage_shapes("plus", n=n_shapes, seeds=(seed,), configs=[config])
 
 
 # the reference's UCI sweep (/root/reference/run_uci_experiments.py:11-26)
