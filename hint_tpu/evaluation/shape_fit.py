@@ -268,6 +268,8 @@ def fit_plus_shapes_batch(curves: np.ndarray, mesh=None) -> np.ndarray:
     B·9 restarts runs as one device program. With ``mesh``, curves are
     sharded over the mesh's data axis and the fit runs data-parallel.
     """
+    if len(curves) == 0:
+        return np.zeros((0, 9), np.float32)
     angles = np.array([dominant_angle_ransac(c) for c in curves], np.float32)
     fit = jax.jit(jax.vmap(lambda p, a: _fit_plus_restarts(p, a)))
     cj, aj = jnp.asarray(curves, jnp.float32), jnp.asarray(angles)
@@ -280,6 +282,8 @@ def fit_plus_shapes_batch(curves: np.ndarray, mesh=None) -> np.ndarray:
 
 
 def fit_lens_shapes_batch(curves: np.ndarray, mesh=None) -> np.ndarray:
+    if len(curves) == 0:
+        return np.zeros((0, 4), np.float32)
     angles = np.array([dominant_angle_lens(c) for c in curves], np.float32)
     fit = jax.jit(jax.vmap(lambda p, a: _fit_lens_restarts(p, a)))
     cj, aj = jnp.asarray(curves, jnp.float32), jnp.asarray(angles)

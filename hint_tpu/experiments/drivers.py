@@ -89,6 +89,9 @@ def _score_shapes(data_model, sample_flat: np.ndarray, family: str, mesh=None) -
     if n_dropped:
         print(f"shape scoring: dropped {n_dropped}/{len(ok)} non-finite/degenerate curves")
     curves, dense = curves[ok], dense[ok]
+    if len(curves) == 0:
+        print("shape scoring: no scoreable curves (all dropped as non-finite)")
+        return np.full(4, np.nan)
     if family == "lens":
         params = shape_fit.fit_lens_shapes_batch(curves, mesh=mesh)
     else:
