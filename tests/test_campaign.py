@@ -63,3 +63,68 @@ def test_report_runs_on_empty(tmp_path, monkeypatch):
     monkeypatch.setattr(campaign, "CAMPAIGN_DIR", str(tmp_path))
     report = campaign.stage_report(abc_dir=str(tmp_path))
     assert "campaign report" in report
+
+
+def test_ablation_grid_resolves():
+    """Every grid entry is a registered plus-shape config; the grid plus
+    MODEL_SETS covers the reference's full train list, including the
+    conditional _8 pair and recursive_cinn (run_experiments.py:29-88)."""
+    for name in campaign.ABLATION_GRID:
+        cfg = get_config(name)
+        assert name.startswith("plus_shape."), name
+        assert not cfg.vestigial
+    covered = set(campaign.ABLATION_GRID)
+    for (family, _), configs in campaign.MODEL_SETS.items():
+        covered |= set(configs)
+    for must in (
+        "plus_shape.conditional_hint_8_full",
+        "plus_shape.conditional_cinn_8",
+        "plus_shape.conditional_recursive_cinn_4",
+    ):
+        assert must in covered, must
+
+
+def test_grid_key_parses_ablation_axes():
+    gk = campaign._grid_key
+    assert gk("plus_shape.unconditional_hint_4_full") == ("hint", 4, 9, "base")
+    assert gk("plus_shape.unconditional_hint_16_1") == ("hint", 16, 1, "base")
+    assert gk("plus_shape.unconditional_hint_32_0_small") == ("hint", 32, 0, "small")
+    assert gk("plus_shape.unconditional_hint_8_2_big") == ("hint", 8, 2, "big")
+    assert gk("plus_shape.unconditional_inn_8") == ("inn", 8, 0, "base")
+    # controls and conditionals are not grid cells
+    assert gk("plus_shape.unconditional_hint_4_full_reshuffle") is None
+    assert gk("plus_shape.conditional_hint_8_full") is None
+
+
+def test_uci_stage_skips_cleanly_without_data(tmp_path, capsys):
+    """VERDICT r2 #6: the one-command UCI stage must no-op with a clear
+    message (expected file layout) when the real data files are absent."""
+    campaign.stage_uci(uci_root=str(tmp_path))
+    out = capsys.readouterr().out
+    assert "no datasets present" in out
+    for path in campaign.UCI_FILES.values():
+        assert path in out
+    present = campaign.uci_datasets_present(str(tmp_path))
+    assert present == {"power": False, "gas": False, "miniboone": False}
+
+
+def test_score_shapes_all_nonfinite_returns_nan():
+    """A fully-diverged model (all curves non-finite) must score as NaN,
+    not crash the sweep (regression for the empty np.stack)."""
+    from hint_tpu.data.fourier import PlusShapeModel
+    from hint_tpu.experiments.drivers import _score_shapes
+
+    x = np.full((5, 100), np.nan, np.float32)
+    m = _score_shapes(PlusShapeModel(), x, "plus")
+    assert m.shape == (4,) and np.isnan(m).all()
+
+
+def test_batch_fitters_accept_empty_input():
+    from hint_tpu.evaluation import shape_fit
+
+    assert shape_fit.fit_plus_shapes_batch(
+        np.zeros((0, 2, 64), np.float32)
+    ).shape == (0, 9)
+    assert shape_fit.fit_lens_shapes_batch(
+        np.zeros((0, 2, 64), np.float32)
+    ).shape == (0, 4)
