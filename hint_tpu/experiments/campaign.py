@@ -514,11 +514,19 @@ def stage_report(abc_dir: str = "abc") -> str:
         if key.endswith("|float32"):
             by_cfg.setdefault(config, []).append(rec)
     for config, recs in sorted(by_cfg.items()):
-        losses = [r["final_test_loss"] for r in recs]
-        lls = [r["per_dim_ll"] for r in recs]
+        # diverged seeds (NaN loss) are excluded from the stats and counted,
+        # mirroring the reference's swallow-and-continue protocol
+        # (run_experiments.py:169-173)
+        losses = np.array([r["final_test_loss"] for r in recs], float)
+        lls = np.array([r["per_dim_ll"] for r in recs], float)
+        n_div = int(np.isnan(losses).sum())
+        note = f" ({n_div} seed{'s' if n_div > 1 else ''} diverged)" if n_div else ""
+        if np.isnan(losses).all():
+            lines.append(f"| {config} | diverged (all seeds) | — |")
+            continue
         lines.append(
-            f"| {config} | {np.mean(losses):.3f} ± {np.std(losses):.3f} "
-            f"| {np.mean(lls):.4f} ± {np.std(lls):.4f} |"
+            f"| {config} | {np.nanmean(losses):.3f} ± {np.nanstd(losses):.3f} "
+            f"| {np.nanmean(lls):.4f} ± {np.nanstd(lls):.4f}{note} |"
         )
     lines.append("")
 
@@ -551,7 +559,7 @@ def stage_report(abc_dir: str = "abc") -> str:
                 rows.setdefault(cfg_name, {"mmds": [], "rej": [], "dists": []})
                 rows[cfg_name]["mmds"].append(np.nanmean(rec["mmds"]))
                 rows[cfg_name]["rej"].append(np.mean(rec.get("rejects", [0.0])))
-                if "dists" in rec:
+                if len(rec.get("dists", [])):
                     rows[cfg_name]["dists"].append(np.nanmean(rec["dists"]))
         if not rows:
             continue
@@ -641,9 +649,9 @@ def stage_report(abc_dir: str = "abc") -> str:
                 for kind, blocks, depth, _ in rows:
                     c = cells[(kind, blocks, depth, size)]
                     iou = (f"{np.nanmean(c['iou']):.3f} ± {np.nanstd(c['iou']):.3f}"
-                           if c["iou"] else "—")
-                    ll = (f"{np.mean(c['ll']):.4f} ± {np.std(c['ll']):.4f}"
-                          if c["ll"] else "—")
+                           if c["iou"] and not np.all(np.isnan(c["iou"])) else "—")
+                    ll = (f"{np.nanmean(c['ll']):.4f} ± {np.nanstd(c['ll']):.4f}"
+                          if c["ll"] and not np.all(np.isnan(c["ll"])) else "—")
                     lines.append(
                         f"| {kind} | {blocks} | "
                         f"{depth_label[depth] if kind == 'hint' else '—'} | {iou} | {ll} |"
