@@ -71,11 +71,19 @@ def ms_per_step(tr, state, xb, yb, keys, lr):
 
 def stage_steps():
     # merge into any existing results so variants can run one per process
-    # (each costs minutes of compile+warmup through the tunnel)
+    # (each costs minutes of compile+warmup through the tunnel). Prior
+    # results are kept ONLY if they were measured under the same protocol
+    # (batch + slope endpoints) — otherwise start fresh rather than mixing.
     out = {"batch": B, "n_lo": N_LO, "n_hi": N_HI}
     try:
         with open("artifacts/profile_steps.json") as f:
-            out.update(json.load(f))
+            prior = json.load(f)
+        if all(prior.get(k) == out[k] for k in ("batch", "n_lo", "n_hi")):
+            out.update({k: v for k, v in prior.items()
+                        if k not in ("batch", "n_lo", "n_hi")})
+        else:
+            print(f"protocol changed ({prior.get('batch')},{prior.get('n_lo')},"
+                  f"{prior.get('n_hi')}) -> ({B},{N_LO},{N_HI}); discarding prior")
     except Exception:
         pass
     only = sys.argv[2] if len(sys.argv) > 2 else None

@@ -257,13 +257,19 @@ def dominant_angles_ransac_batch(
     counts = np.where(degenerate, -1, inlier.sum(-1))
     best = counts.argmax(1)
     mask = inlier[rows[:, 0], best]  # (B, N)
-    # weighted least-squares refit on the inlier set (simple linear regression)
+    # least-squares refit on the inlier set (simple linear regression);
+    # curves with <2 inliers or x-degenerate inlier sets keep the best
+    # hypothesis's slope instead of a refit over a biased denominator
     w = mask.astype(np.float64)
-    n_in = np.maximum(w.sum(1), 2.0)
-    mx, my = (w * x).sum(1) / n_in, (w * y).sum(1) / n_in
+    n_in = w.sum(1)
+    safe_n = np.maximum(n_in, 1.0)
+    mx, my = (w * x).sum(1) / safe_n, (w * y).sum(1) / safe_n
     cov = (w * (x - mx[:, None]) * (y - my[:, None])).sum(1)
     var = (w * (x - mx[:, None]) ** 2).sum(1)
-    slope = np.where(var > 1e-12, cov / np.maximum(var, 1e-12), a[rows[:, 0], best])
+    a_best = a[rows[:, 0], best]
+    slope = np.where(
+        (n_in >= 2) & (var > 1e-12), cov / np.maximum(var, 1e-12), a_best
+    )
     return np.arctan2(slope, 1.0).astype(np.float32)
 
 

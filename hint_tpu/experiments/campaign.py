@@ -448,19 +448,24 @@ def stage_uci(
     t0 = time.time()
     for config in runnable:
         cfg = get_config(config)
+        log = _read_log()
+        todo = [
+            s for s in seeds
+            if f"{config}|s{s}|float32" not in log
+            or not os.path.exists(_ckpt_path(config, s))
+        ]
+        if not todo:
+            continue  # fully done — skip before paying the dataset load
         (x_tr, y_tr), (x_te, y_te) = cfg.load_data(uci_root=uci_root)
-        for seed in seeds:
+        trainer = cfg.make_trainer()  # shared across seeds: one compile/warmup
+        for seed in todo:
             key = f"{config}|s{seed}|float32"
             path = _ckpt_path(config, seed)
-            log = _read_log()
-            if key in log and os.path.exists(path):
-                continue
             if max_minutes and (time.time() - t0) / 60 > max_minutes:
                 print("uci stage time budget reached; re-invoke to continue")
                 return
             import jax.numpy as jnp
 
-            trainer = cfg.make_trainer()
             t1 = time.time()
             state, final = trainer.fit(
                 jax.random.PRNGKey(seed), (jnp.asarray(x_tr), None),
@@ -511,7 +516,8 @@ def stage_report(abc_dir: str = "abc") -> str:
     by_cfg: Dict[str, list] = {}
     for key, rec in sorted(log.items()):
         config = key.split("|")[0]
-        if key.endswith("|float32"):
+        # uci_data.* entries get their own LL-normalized section below
+        if key.endswith("|float32") and not config.startswith("uci_data."):
             by_cfg.setdefault(config, []).append(rec)
     for config, recs in sorted(by_cfg.items()):
         # diverged seeds (NaN loss) are excluded from the stats and counted,
@@ -612,7 +618,15 @@ def stage_report(abc_dir: str = "abc") -> str:
         lines += ["## UCI test log-likelihood (nats, mean ± std over runs)", "",
                   "| config | LL |", "|---|---|"]
         for config, lls in sorted(uci_rows.items()):
-            lines.append(f"| {config} | {np.mean(lls):.3f} ± {np.std(lls):.3f} |")
+            lls = np.array(lls, float)
+            n_div = int(np.isnan(lls).sum())
+            if np.isnan(lls).all():
+                lines.append(f"| {config} | diverged (all runs) |")
+                continue
+            note = f" ({n_div} run{'s' if n_div > 1 else ''} diverged)" if n_div else ""
+            lines.append(
+                f"| {config} | {np.nanmean(lls):.3f} ± {np.nanstd(lls):.3f}{note} |"
+            )
         lines.append("")
 
     # architecture-ablation grid: IoU and per-dim LL vs (blocks, recursion

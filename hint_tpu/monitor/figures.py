@@ -51,6 +51,7 @@ def _save(fig, out_dir: str, stem: str):
 
 
 _OUTLINE_ASSET = os.path.join(os.path.dirname(__file__), "assets", "outline.json")
+_OUTLINE_CACHE: dict = {}
 
 
 def example_outline(n: int = 120, seed: int = 7) -> np.ndarray:
@@ -59,14 +60,18 @@ def example_outline(n: int = 120, seed: int = 7) -> np.ndarray:
     Loaded from a static traced-outline asset (a duck silhouette,
     ``monitor/assets/outline.json``) with the same ``{"points": [{"x":..,
     "y":..}]}`` schema and loading mechanism as the reference's hand-traced
-    frog (plot_data.py:242-244, data/frog.json). Falls back to a procedural
-    outline if the asset is missing."""
+    frog (plot_data.py:242-244, data/frog.json) — the asset's own point
+    count wins over ``n``, exactly as the reference's fixed frog trace
+    does. ``n``/``seed`` shape the procedural fallback used when the asset
+    is missing. The parsed asset is cached across calls."""
     try:
         import json
 
-        with open(_OUTLINE_ASSET) as f:
-            points = json.load(f)["points"]
-        return np.array([[p["x"], p["y"]] for p in points])
+        if "pts" not in _OUTLINE_CACHE:
+            with open(_OUTLINE_ASSET) as f:
+                points = json.load(f)["points"]
+            _OUTLINE_CACHE["pts"] = np.array([[p["x"], p["y"]] for p in points])
+        return _OUTLINE_CACHE["pts"].copy()
     except Exception:
         rng = np.random.default_rng(seed)
         t = np.linspace(0, 2 * np.pi, n, endpoint=False)

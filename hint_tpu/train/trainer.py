@@ -250,6 +250,11 @@ class Trainer:
         """Shuffled drop-last batch index blocks (host-side permutation)."""
         perm = jax.random.permutation(key, n)
         n_batches = n // self.batch_size
+        if n_batches == 0:
+            raise ValueError(
+                f"dataset of {n} rows yields zero drop-last batches at "
+                f"batch_size={self.batch_size}; shrink the batch or grow the data"
+            )
         if self.max_batches_per_epoch > 0:
             n_batches = min(n_batches, self.max_batches_per_epoch)
         return perm, n_batches

@@ -335,3 +335,14 @@ def test_remat_off_by_default():
     cfg = get_config("lens_shape.unconditional_inn_1")
     assert not cfg.make_trainer().model.remat
     assert cfg.make_trainer(remat=True).model.remat
+
+
+def test_zero_batches_raises():
+    """Dataset smaller than one drop-last batch must fail loudly, not
+    scan zero steps and report NaN losses."""
+    m = builders.inn(dim=6, n_blocks=1, hidden=8)
+    tr = Trainer(model=m, kind=UNCONDITIONAL, batch_size=64, n_epochs=1)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    x = jnp.zeros((32, 6), jnp.float32)  # 32 rows < batch_size 64
+    with pytest.raises(ValueError, match="zero drop-last batches"):
+        tr.train_epoch(state, x, None, jax.random.PRNGKey(1), 0)
