@@ -671,6 +671,17 @@ def stage_report(abc_dir: str = "abc") -> str:
                         f"{depth_label[depth] if kind == 'hint' else '—'} | {iou} | {ll} |"
                     )
                 lines.append("")
+            # visual companion to the tables (skipped cleanly if matplotlib
+            # is unavailable or the grid is still empty)
+            try:
+                from hint_tpu.monitor.figures import plot_ablation_grid
+
+                figs = plot_ablation_grid(cells)
+            except Exception as exc:  # pragma: no cover - env-dependent
+                print(f"ablation figures skipped: {exc}", flush=True)
+            else:
+                if figs:
+                    lines += ["Ablation figures: " + ", ".join(figs), ""]
 
     report = "\n".join(lines)
     os.makedirs(CAMPAIGN_DIR, exist_ok=True)

@@ -407,3 +407,81 @@ def metrics_illustration(out_dir: str = "data") -> str:
     path = _save(fig, out_dir, "metrics_illustration")
     plt.close(fig)
     return path
+
+
+# Categorical series colors keyed by block count (fixed assignment — the
+# color follows the entity across every panel and size class).
+_BLOCK_COLORS = {4: "#2a78d6", 8: "#eb6834", 16: "#1baf7a", 32: "#eda100"}
+_DEPTH_POS = {0: 0, 1: 1, 2: 2, 3: 3, 9: 4}  # 9 encodes 'full'
+_DEPTH_TICKS = ["0", "1", "2", "3", "full"]
+
+
+def _ablation_axes(ax, ylabel):
+    ax.set_xticks(range(len(_DEPTH_TICKS)))
+    ax.set_xticklabels(_DEPTH_TICKS)
+    ax.set_xlabel("recursion depth")
+    ax.set_ylabel(ylabel)
+    ax.spines[["top", "right"]].set_visible(False)
+    ax.grid(axis="y", color="#e5e4e0", lw=0.8, zorder=0)
+    ax.tick_params(colors="#52514e")
+
+
+def plot_ablation_grid(cells, out_dir: str = os.path.join("artifacts", "figures")):
+    """Plus-shape architecture-ablation figures: IoU and per-dim likelihood
+    vs recursion depth, one line per block count, one figure per
+    parameter-matching class (base / small / big).
+
+    ``cells`` maps ``(kind, blocks, depth, size)`` to ``{"iou": [...],
+    "ll": [...]}`` over seeds, as built by ``campaign.stage_report`` (depth 9
+    encodes 'full'; kind 'inn' rows carry depth 0 and are drawn as flat
+    reference lines, since an INN has no recursion axis). This is the visual
+    companion to the reference's tabular study (run_experiments.py:29-88 +
+    eval_shapes.py:67-133 — the reference never plotted it).
+
+    Returns the list of written PNG paths.
+    """
+    plt = _mpl()
+    paths = []
+    for size in ("base", "small", "big"):
+        hint = {k: v for k, v in cells.items() if k[0] == "hint" and k[3] == size}
+        inn = {k: v for k, v in cells.items() if k[0] == "inn" and k[3] == size}
+        if not hint:
+            continue
+        fig, axes = plt.subplots(1, 2, figsize=(9.6, 3.6))
+        fig.patch.set_facecolor("#fcfcfb")
+        for ax, metric, ylabel in ((axes[0], "iou", "IoU"),
+                                   (axes[1], "ll", "per-dim log-likelihood (nats)")):
+            for blocks in sorted({k[1] for k in hint}):
+                pts = sorted(
+                    (_DEPTH_POS[k[2]], v[metric])
+                    for k, v in hint.items()
+                    if k[1] == blocks and len(v[metric])
+                    and not np.all(np.isnan(v[metric]))
+                )
+                if not pts:
+                    continue
+                xs = [p[0] for p in pts]
+                mean = [float(np.nanmean(p[1])) for p in pts]
+                std = [float(np.nanstd(p[1])) for p in pts]
+                color = _BLOCK_COLORS.get(blocks, "#52514e")
+                ax.errorbar(xs, mean, yerr=std, color=color, lw=2, marker="o",
+                            ms=5, capsize=3, zorder=3, label=f"{blocks} blocks")
+                ax.annotate(f"{blocks}", (xs[-1], mean[-1]),
+                            textcoords="offset points", xytext=(6, 0),
+                            color="#52514e", fontsize=8, va="center")
+            for k, v in sorted(inn.items()):
+                if not len(v[metric]) or np.all(np.isnan(v[metric])):
+                    continue
+                m = float(np.nanmean(v[metric]))
+                ax.axhline(m, color="#52514e", lw=1, ls=(0, (4, 3)), zorder=2)
+                ax.annotate(f"INN-{k[1]}", (0.02, m), xycoords=("axes fraction", "data"),
+                            textcoords="offset points", xytext=(0, 3),
+                            color="#52514e", fontsize=7)
+            _ablation_axes(ax, ylabel)
+        axes[0].legend(loc="lower right", fontsize=8, frameon=False)
+        fig.suptitle(f"plus-shape ablation — {size} (mean ± std over seeds; "
+                     "dashed: INN baselines)", fontsize=10, color="#0b0b0b")
+        fig.tight_layout()
+        paths.append(_save(fig, out_dir, f"ablation_{size}"))
+        plt.close(fig)
+    return paths

@@ -39,3 +39,23 @@ def test_line_data_units_constructs():
     from matplotlib.lines import Line2D
 
     assert isinstance(line, Line2D)
+
+
+def test_plot_ablation_grid(tmp_path):
+    # one cell per (kind, blocks, depth, size) as campaign.stage_report builds
+    cells = {
+        ("hint", 4, 0, "base"): {"iou": [0.80, 0.81], "ll": [3.50, 3.52]},
+        ("hint", 4, 9, "base"): {"iou": [0.86], "ll": [3.64]},
+        ("hint", 8, 1, "base"): {"iou": [0.84], "ll": [3.60]},
+        ("inn", 16, 0, "base"): {"iou": [0.89], "ll": [3.65]},
+        ("hint", 4, 1, "small"): {"iou": [0.84], "ll": [3.61]},
+        ("hint", 8, 0, "small"): {"iou": [float("nan")], "ll": []},  # diverged
+    }
+    paths = figures.plot_ablation_grid(cells, out_dir=str(tmp_path))
+    assert [os.path.basename(p) for p in paths] == ["ablation_base.png", "ablation_small.png"]
+    for p in paths:
+        assert os.path.getsize(p) > 0
+
+
+def test_plot_ablation_grid_empty(tmp_path):
+    assert figures.plot_ablation_grid({}, out_dir=str(tmp_path)) == []
