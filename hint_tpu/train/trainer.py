@@ -250,7 +250,9 @@ class Trainer:
         """Shuffled drop-last batch index blocks (host-side permutation)."""
         perm = jax.random.permutation(key, n)
         n_batches = n // self.batch_size
-        if n_batches == 0:
+        if n_batches == 0 and train:
+            # eval_epoch handles n_batches == 0 itself (whole-set fallback);
+            # only a zero-batch *training* epoch is a silent no-op worth raising on
             raise ValueError(
                 f"dataset of {n} rows yields zero drop-last batches at "
                 f"batch_size={self.batch_size}; shrink the batch or grow the data"
