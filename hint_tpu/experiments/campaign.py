@@ -640,7 +640,9 @@ def stage_report(abc_dir: str = "abc") -> str:
             gk = _grid_key(key.split("|")[0])
             if gk is None:
                 continue
-            cells.setdefault(gk, {"iou": [], "ll": []})["iou"].append(rec["iou"])
+            cell = cells.setdefault(gk, {"iou": [], "dice": [], "ll": []})
+            cell["iou"].append(rec["iou"])
+            cell["dice"].append(rec.get("dice", float("nan")))
         for key, rec in log.items():
             config, _, dt = key.split("|")
             if dt != "float32":
@@ -657,18 +659,23 @@ def stage_report(abc_dir: str = "abc") -> str:
                 if not rows:
                     continue
                 lines += [f"## plus-shape architecture ablation — {size} "
-                          f"(IoU / per-dim LL, mean ± std over seeds)", "",
-                          "| model | blocks | depth | IoU | per-dim LL |",
-                          "|---|---|---|---|---|"]
+                          f"(IoU / DICE / per-dim LL, mean ± std over seeds)", "",
+                          "| model | blocks | depth | IoU | DICE | per-dim LL |",
+                          "|---|---|---|---|---|---|"]
                 for kind, blocks, depth, _ in rows:
                     c = cells[(kind, blocks, depth, size)]
-                    iou = (f"{np.nanmean(c['iou']):.3f} ± {np.nanstd(c['iou']):.3f}"
-                           if c["iou"] and not np.all(np.isnan(c["iou"])) else "—")
-                    ll = (f"{np.nanmean(c['ll']):.4f} ± {np.nanstd(c['ll']):.4f}"
-                          if c["ll"] and not np.all(np.isnan(c["ll"])) else "—")
+
+                    def cstat(name, fmt):
+                        vals = c[name]
+                        if not vals or np.all(np.isnan(vals)):
+                            return "—"
+                        return f"{np.nanmean(vals):{fmt}} ± {np.nanstd(vals):{fmt}}"
+
                     lines.append(
                         f"| {kind} | {blocks} | "
-                        f"{depth_label[depth] if kind == 'hint' else '—'} | {iou} | {ll} |"
+                        f"{depth_label[depth] if kind == 'hint' else '—'} "
+                        f"| {cstat('iou', '.3f')} | {cstat('dice', '.3f')} "
+                        f"| {cstat('ll', '.4f')} |"
                     )
                 lines.append("")
             # visual companion to the tables (skipped cleanly if matplotlib
