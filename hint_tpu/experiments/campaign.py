@@ -629,9 +629,44 @@ def stage_report(abc_dir: str = "abc") -> str:
             )
         lines.append("")
 
+    # control experiments: each control ablates one design choice of its
+    # baseline config (run_experiments.py:30-33,41 — reshuffle kills the
+    # hierarchical split order, constwidth the width taper, lessshrink the
+    # subnet shrink factor; inn_4_Q swaps fixed for learned permutations)
+    _CONTROLS = [
+        ("plus_shape.unconditional_hint_4_3", None),
+        ("plus_shape.unconditional_hint_4_3_reshuffle", "hint_4_3"),
+        ("plus_shape.unconditional_hint_4_3_constwidth", "hint_4_3"),
+        ("plus_shape.unconditional_hint_4_3_lessshrink", "hint_4_3"),
+        ("plus_shape.unconditional_inn_4", None),
+        ("plus_shape.unconditional_inn_4_Q", "inn_4"),
+    ]
+    shp_path = os.path.join(CAMPAIGN_DIR, "shapes_plus.json")
+    if os.path.exists(shp_path):
+        with open(shp_path) as f:
+            shp_all = json.load(f)
+        ctl_rows = []
+        for config, base in _CONTROLS:
+            ious = [r["iou"] for k, r in shp_all.items() if k.split("|")[0] == config]
+            lls = [r["per_dim_ll"] for k, r in log.items()
+                   if k.split("|")[0] == config and k.endswith("|float32")]
+            if not ious and not lls:
+                continue
+            iou = (f"{np.nanmean(ious):.3f} ± {np.nanstd(ious):.3f}"
+                   if ious and not np.all(np.isnan(ious)) else "—")
+            ll = (f"{np.nanmean(lls):.4f} ± {np.nanstd(lls):.4f}"
+                  if lls and not np.all(np.isnan(lls)) else "—")
+            name = config.split(".")[-1]
+            ctl_rows.append(f"| {name} | {'baseline' if base is None else f'ablates {base}'} "
+                            f"| {iou} | {ll} |")
+        if ctl_rows:
+            lines += ["## plus-shape control experiments "
+                      "(IoU / per-dim LL, mean ± std over seeds)", "",
+                      "| config | role | IoU | per-dim LL |", "|---|---|---|---|",
+                      *ctl_rows, ""]
+
     # architecture-ablation grid: IoU and per-dim LL vs (blocks, recursion
     # depth), per parameter-matching class — the HINT paper's central study
-    shp_path = os.path.join(CAMPAIGN_DIR, "shapes_plus.json")
     if os.path.exists(shp_path):
         with open(shp_path) as f:
             shp = json.load(f)
