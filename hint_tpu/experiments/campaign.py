@@ -486,6 +486,81 @@ def stage_uci(
                   f"({log[key]['minutes']:.1f} min)", flush=True)
 
 
+def stage_figures(
+    seed: int = 0,
+    out_dir: str = os.path.join("artifacts", "figures", "models"),
+    cache_dir: str = "data",
+    abc_dir: str = "abc",
+    n_abc_panels: int = 2,
+):
+    """The reference's paper-figure set (plot_data.py's __main__ products),
+    generated from *trained* campaign checkpoints rather than smoke inputs:
+    illustration figures, dataset example panels (writes the {name}_corr.npy
+    prior-corr GT), conditional-GT correlation from the 10^7 quantile-ABC
+    pools at the flagship vis targets, per-model sample panels for every
+    MODEL_SETS config with a seed-``seed`` checkpoint, and model-vs-ABC
+    posterior panels where per-target caches exist."""
+    import jax
+
+    from hint_tpu.configs import get_config
+    from hint_tpu.data.fourier import LensShapeModel, PlusShapeModel
+    from hint_tpu.evaluation.abc import quantile_ABC
+    from hint_tpu.monitor import figures
+
+    LIMITS = {"plus-shape": (-4, 4, -4, 4), "lens-shape1": (-2.5, 2.5, -2.5, 2.5)}
+    paths = [
+        figures.plot_fouriercurve_example(out_dir=out_dir),
+        figures.metrics_illustration(out_dir=out_dir),
+        figures.show_parameter_sensitivity(out_dir=out_dir),
+    ]
+    for dm in (PlusShapeModel(), LensShapeModel()):
+        paths.append(
+            figures.plot_dataset_example(dm, limits=LIMITS[dm.name], out_dir=cache_dir)
+        )
+    # conditional-GT correlation from the campaign's quantile-ABC pools.
+    # (The reference derives the plus GT by tol-0.05 rejection,
+    # rejection_sampling.py:113-127 — evaluation.abc.correlation_conditional
+    # carries that protocol; here the pool quantile GT is used so the stage
+    # reuses the existing 10^7 caches instead of hours of rejection.)
+    for family, dm_name in (("plus", "plus-shape"), ("lens", "lens-shape1")):
+        f_corr = os.path.join(cache_dir, f"{dm_name}_corr_conditional.npy")
+        fx = os.path.join(abc_dir, f"{dm_name}_x_huge.npy")
+        if os.path.exists(f_corr) or not os.path.exists(fx):
+            continue
+        cfg = get_config(MODEL_SETS[(family, "conditional")][0])
+        x = np.load(fx, mmap_mode="r")
+        y = np.load(os.path.join(abc_dir, f"{dm_name}_y_huge.npy"), mmap_mode="r")
+        sample, _ = quantile_ABC(x, y, np.asarray(cfg.vis_y_target, np.float32))
+        np.save(f_corr, np.corrcoef(np.asarray(sample).T))
+        print(f"figures: conditional corr GT -> {f_corr}", flush=True)
+    for (family, kind), configs in MODEL_SETS.items():
+        for config in configs:
+            if not os.path.exists(_ckpt_path(config, seed)):
+                print(f"figures: no seed-{seed} checkpoint for {config}, skipped",
+                      flush=True)
+                continue
+            cfg, trainer, state = _load_state(config, seed)
+            key = jax.random.PRNGKey(seed + 4242)
+            lim = LIMITS[cfg.data_model().name]
+            if kind == "unconditional":
+                paths.append(figures.plot_model_unconditional(
+                    cfg, trainer.model, state.params, key, limits=lim,
+                    out_dir=out_dir, cache_dir=cache_dir))
+            else:
+                paths.append(figures.plot_model_conditional(
+                    cfg, trainer.model, state.params, key, limits=lim,
+                    out_dir=out_dir, cache_dir=cache_dir))
+                for i in range(n_abc_panels):
+                    try:
+                        paths.append(figures.plot_model_conditional_abc(
+                            cfg, trainer.model, state.params, key, i=i, limits=lim,
+                            abc_dir=abc_dir, out_dir=out_dir))
+                    except FileNotFoundError:
+                        break
+            print(f"figures: {paths[-1]}", flush=True)
+    return paths
+
+
 def _grid_key(config: str):
     """(kind, blocks, depth, size) parsed from a plus-shape config name;
     depth 9 encodes 'full'."""
@@ -764,8 +839,19 @@ def main(argv=None):
     up.add_argument("--uci-root", default=".")
     up.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
     up.add_argument("--max-minutes", type=float, default=None)
+    fp = sub.add_parser("figures")
+    fp.add_argument("--seed", type=int, default=0)
+    fp.add_argument("--n-abc-panels", type=int, default=2)
     sub.add_parser("report")
     args = p.parse_args(argv)
+
+    # the session sitecustomize force-selects the TPU plugin via
+    # jax.config.update, overriding the env var — re-assert the user's
+    # choice so JAX_PLATFORMS=cpu stages never contend for the chip
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     from hint_tpu.utils import enable_compilation_cache
 
@@ -786,6 +872,8 @@ def main(argv=None):
                    configs=args.configs or None)
     elif args.stage == "uci":
         stage_uci(args.uci_root, tuple(args.seeds), args.max_minutes)
+    elif args.stage == "figures":
+        stage_figures(args.seed, n_abc_panels=args.n_abc_panels)
     elif args.stage == "report":
         stage_report()
 

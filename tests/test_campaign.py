@@ -128,3 +128,21 @@ def test_batch_fitters_accept_empty_input():
     assert shape_fit.fit_lens_shapes_batch(
         np.zeros((0, 2, 64), np.float32)
     ).shape == (0, 4)
+
+
+def test_figures_stage_skips_without_checkpoints(tmp_path, monkeypatch):
+    # no checkpoints, no ABC pools: only the five static figures render,
+    # every model panel is skipped with a message instead of raising
+    monkeypatch.setattr(campaign, "CAMPAIGN_DIR", str(tmp_path / "camp"))
+    paths = campaign.stage_figures(
+        seed=0,
+        out_dir=str(tmp_path / "figs"),
+        cache_dir=str(tmp_path / "cache"),
+        abc_dir=str(tmp_path / "abc"),
+    )
+    assert len(paths) == 5
+    for p in paths:
+        assert os.path.getsize(p) > 0
+    # dataset examples must have written the prior-corr GT files
+    assert os.path.exists(tmp_path / "cache" / "plus-shape_corr.npy")
+    assert os.path.exists(tmp_path / "cache" / "lens-shape1_corr.npy")
