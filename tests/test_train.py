@@ -346,3 +346,21 @@ def test_zero_batches_raises():
     x = jnp.zeros((32, 6), jnp.float32)  # 32 rows < batch_size 64
     with pytest.raises(ValueError, match="zero drop-last batches"):
         tr.train_epoch(state, x, None, jax.random.PRNGKey(1), 0)
+
+
+def test_eval_epoch_whole_set_fallback_below_batch_size():
+    # regression: the zero-batch guard must not fire on the eval path —
+    # a test set smaller than batch_size evaluates as one whole batch
+    dim = 4
+    m = builders.hint(dim=dim, n_blocks=1, c_internal=(8, 4))
+    tr = Trainer(
+        model=m, kind=UNCONDITIONAL, n_epochs=1, batch_size=64,
+        lr_init=0.01, pre_low_lr=1, init_scale=0.005, l2_weight_reg=0.0,
+    )
+    x, _ = _toy_gaussian_data(jax.random.PRNGKey(0), 20, dim)  # 20 < 64
+    state = tr.init_state(jax.random.PRNGKey(1))
+    terms = tr.eval_epoch(state.params, jnp.asarray(x), None, jax.random.PRNGKey(2))
+    assert np.all(np.isfinite(np.asarray(terms)))
+    # the training path still raises on a zero-batch epoch
+    with pytest.raises(ValueError, match="zero drop-last batches"):
+        tr.train_epoch(state, jnp.asarray(x), None, jax.random.PRNGKey(3), 0)
