@@ -230,6 +230,9 @@ def cmd_experiment(args):
 
 
 def main(argv=None):
+    from hint_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # persistent XLA cache + JAX_PLATFORMS re-assert
     ap = argparse.ArgumentParser(prog="hint_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

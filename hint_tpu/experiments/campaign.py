@@ -556,9 +556,21 @@ def stage_figures(
                             cfg, trainer.model, state.params, key, i=i, limits=lim,
                             abc_dir=abc_dir, out_dir=out_dir))
                     except FileNotFoundError:
+                        print(f"figures: no ABC target cache "
+                              f"{abc_dir}/{cfg.data_model().name}/{i:05}.pkl — "
+                              f"posterior panels for {config} skipped "
+                              f"(run `campaign pool` + `compare` first)", flush=True)
                         break
             print(f"figures: {paths[-1]}", flush=True)
     return paths
+
+
+def _mean_std(vals, fmt: str) -> str:
+    """``mean ± std`` over the non-NaN entries, or an em-dash when empty."""
+    vals = np.asarray(list(vals), float)
+    if vals.size == 0 or bool(np.all(np.isnan(vals))):
+        return "—"
+    return f"{np.nanmean(vals):{fmt}} ± {np.nanstd(vals):{fmt}}"
 
 
 def _grid_key(config: str):
@@ -674,10 +686,7 @@ def stage_report(abc_dir: str = "abc") -> str:
                   "|---|---|---|---|---|---|---|"]
         for config, recs in sorted(by_cfg.items()):
             def ms(k):
-                vals = [r.get(k, float("nan")) for r in recs]
-                if np.all(np.isnan(vals)):
-                    return "—"
-                return f"{np.nanmean(vals):.3f} ± {np.nanstd(vals):.3f}"
+                return _mean_std((r.get(k, float("nan")) for r in recs), ".3f")
             lines.append(f"| {config} | {ms('iou')} | {ms('dice')} | {ms('max_h')} "
                          f"| {ms('avg_h')} | {ms('reject_rate')} | {ms('corr_mse')} |")
         lines.append("")
@@ -717,9 +726,11 @@ def stage_report(abc_dir: str = "abc") -> str:
         ("plus_shape.unconditional_inn_4_Q", "inn_4"),
     ]
     shp_path = os.path.join(CAMPAIGN_DIR, "shapes_plus.json")
+    shp_all = None
     if os.path.exists(shp_path):
         with open(shp_path) as f:
             shp_all = json.load(f)
+    if shp_all is not None:
         ctl_rows = []
         for config, base in _CONTROLS:
             ious = [r["iou"] for k, r in shp_all.items() if k.split("|")[0] == config]
@@ -727,13 +738,9 @@ def stage_report(abc_dir: str = "abc") -> str:
                    if k.split("|")[0] == config and k.endswith("|float32")]
             if not ious and not lls:
                 continue
-            iou = (f"{np.nanmean(ious):.3f} ± {np.nanstd(ious):.3f}"
-                   if ious and not np.all(np.isnan(ious)) else "—")
-            ll = (f"{np.nanmean(lls):.4f} ± {np.nanstd(lls):.4f}"
-                  if lls and not np.all(np.isnan(lls)) else "—")
             name = config.split(".")[-1]
             ctl_rows.append(f"| {name} | {'baseline' if base is None else f'ablates {base}'} "
-                            f"| {iou} | {ll} |")
+                            f"| {_mean_std(ious, '.3f')} | {_mean_std(lls, '.4f')} |")
         if ctl_rows:
             lines += ["## plus-shape control experiments "
                       "(IoU / per-dim LL, mean ± std over seeds)", "",
@@ -742,11 +749,9 @@ def stage_report(abc_dir: str = "abc") -> str:
 
     # architecture-ablation grid: IoU and per-dim LL vs (blocks, recursion
     # depth), per parameter-matching class — the HINT paper's central study
-    if os.path.exists(shp_path):
-        with open(shp_path) as f:
-            shp = json.load(f)
+    if shp_all is not None:
         cells: Dict[tuple, Dict[str, list]] = {}
-        for key, rec in shp.items():
+        for key, rec in shp_all.items():
             gk = _grid_key(key.split("|")[0])
             if gk is None:
                 continue
@@ -774,18 +779,11 @@ def stage_report(abc_dir: str = "abc") -> str:
                           "|---|---|---|---|---|---|"]
                 for kind, blocks, depth, _ in rows:
                     c = cells[(kind, blocks, depth, size)]
-
-                    def cstat(name, fmt):
-                        vals = c[name]
-                        if not vals or np.all(np.isnan(vals)):
-                            return "—"
-                        return f"{np.nanmean(vals):{fmt}} ± {np.nanstd(vals):{fmt}}"
-
                     lines.append(
                         f"| {kind} | {blocks} | "
                         f"{depth_label[depth] if kind == 'hint' else '—'} "
-                        f"| {cstat('iou', '.3f')} | {cstat('dice', '.3f')} "
-                        f"| {cstat('ll', '.4f')} |"
+                        f"| {_mean_std(c['iou'], '.3f')} | {_mean_std(c['dice'], '.3f')} "
+                        f"| {_mean_std(c['ll'], '.4f')} |"
                     )
                 lines.append("")
             # visual companion to the tables (skipped cleanly if matplotlib
@@ -793,7 +791,10 @@ def stage_report(abc_dir: str = "abc") -> str:
             try:
                 from hint_tpu.monitor.figures import plot_ablation_grid
 
-                figs = plot_ablation_grid(cells)
+                # keep figures under the same artifacts root as REPORT.md
+                # (tests that redirect CAMPAIGN_DIR get the PNGs there too)
+                fig_dir = os.path.join(os.path.dirname(CAMPAIGN_DIR) or ".", "figures")
+                figs = plot_ablation_grid(cells, out_dir=fig_dir)
             except Exception as exc:  # pragma: no cover - env-dependent
                 print(f"ablation figures skipped: {exc}", flush=True)
             else:
@@ -845,17 +846,9 @@ def main(argv=None):
     sub.add_parser("report")
     args = p.parse_args(argv)
 
-    # the session sitecustomize force-selects the TPU plugin via
-    # jax.config.update, overriding the env var — re-assert the user's
-    # choice so JAX_PLATFORMS=cpu stages never contend for the chip
-    if os.environ.get("JAX_PLATFORMS"):
-        import jax
-
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-
     from hint_tpu.utils import enable_compilation_cache
 
-    enable_compilation_cache()
+    enable_compilation_cache()  # also re-asserts JAX_PLATFORMS (utils)
     if args.stage == "data":
         stage_data(args.family)
     elif args.stage == "train":

@@ -14,15 +14,30 @@ import time
 from typing import Iterator, Optional
 
 
+def respect_env_platforms() -> None:
+    """Re-assert ``JAX_PLATFORMS`` over any sitecustomize plugin.
+
+    Some environments register an accelerator PJRT plugin from
+    sitecustomize via ``jax.config.update("jax_platforms", ...)``, which
+    silently overrides the env var; a ``JAX_PLATFORMS=cpu`` run would then
+    still grab the accelerator (and contend with whatever owns it)."""
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
 def enable_compilation_cache(
     cache_dir: Optional[str] = None, min_compile_secs: float = 1.0
 ) -> None:
     """Persist compiled XLA executables across processes.
 
-    Safe to call multiple times; honors ``HINT_TPU_CACHE_DIR``.
-    """
+    Safe to call multiple times; honors ``HINT_TPU_CACHE_DIR``. Also
+    re-asserts ``JAX_PLATFORMS`` (every process entry point calls this
+    first, so the env var stays authoritative everywhere)."""
     import jax
 
+    respect_env_platforms()
     cache_dir = cache_dir or os.environ.get(
         "HINT_TPU_CACHE_DIR", os.path.expanduser("~/.cache/hint_tpu_xla")
     )
