@@ -17,14 +17,34 @@ Env knobs:
     HINT_TPU_BENCH_REF_STEPS timed torch steps          (default 3)
     HINT_TPU_BENCH_BATCH     batch size                 (default 10000)
     HINT_TPU_BENCH_DTYPE     compute dtype              (default bfloat16)
+    HINT_TPU_BENCH_ATTEMPTS  max tries on a busy chip   (default 10)
+    HINT_TPU_BENCH_BACKOFF   seconds between tries      (default 60)
+
+The TPU sits behind a shared tunnel that can report UNAVAILABLE while
+another process holds the chip or the connection blips. The benchmark
+proper runs in a child process; on an UNAVAILABLE-class failure the
+parent waits and retries with a fresh process (a dead backend can't be
+re-initialised in-process), so a transiently busy chip never costs the
+round its official perf record.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
+
+# substrings (case-insensitive) in a failed child's stderr that mark the
+# failure as transient chip/tunnel trouble worth retrying
+_RETRYABLE = (
+    "unavailable",
+    "unable to initialize backend",
+    "backend connection dropped",
+    "deadline exceeded",
+    "failed to connect",
+)
 
 BATCH = int(os.environ.get("HINT_TPU_BENCH_BATCH", 10000))
 STEPS = int(os.environ.get("HINT_TPU_BENCH_STEPS", 30))
@@ -38,7 +58,12 @@ DTYPE = os.environ.get("HINT_TPU_BENCH_DTYPE", "bfloat16")
 FLAGSHIP = "plus_shape.unconditional_hint_4_full"
 
 
+def _note(msg: str) -> None:
+    print(f"bench.py[child]: {msg}", file=sys.stderr, flush=True)
+
+
 def bench_jax() -> float:
+    _note("importing jax / initializing backend")
     import jax
 
     # the session sitecustomize force-selects the TPU plugin via
@@ -62,15 +87,18 @@ def bench_jax() -> float:
     keys = jax.random.split(jax.random.PRNGKey(2), STEPS + 3)
 
     # warmup: compile + 2 steady steps
+    _note(f"compiling + warmup on {jax.devices()[0].platform}")
     for i in range(3):
         state, terms = trainer.step_fn(state, x, y, keys[i], lr)
     jax.block_until_ready(terms)
 
+    _note(f"timing {STEPS} steps")
     t0 = time.perf_counter()
     for i in range(STEPS):
         state, terms = trainer.step_fn(state, x, y, keys[3 + i], lr)
     jax.block_until_ready(terms)
     dt = time.perf_counter() - t0
+    _note(f"jax done: {STEPS / dt:.2f} steps/s")
     return STEPS / dt
 
 
@@ -170,8 +198,68 @@ def bench_torch_cpu() -> float:
     return REF_STEPS / dt
 
 
+def _supervise() -> int:
+    """Run the benchmark in child processes, retrying transient TPU failures.
+
+    Returns the exit code for the parent process. The child's single JSON
+    stdout line is forwarded verbatim on success; its stderr streams through
+    unconditionally so progress stays visible.
+    """
+    attempts = int(os.environ.get("HINT_TPU_BENCH_ATTEMPTS", 10))
+    backoff = float(os.environ.get("HINT_TPU_BENCH_BACKOFF", 60))
+    env = dict(os.environ, HINT_TPU_BENCH_CHILD="1")
+    for attempt in range(1, attempts + 1):
+        print(f"bench.py: attempt {attempt}/{attempts}", file=sys.stderr)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        if proc.returncode == 0:
+            line = proc.stdout.strip().splitlines()[-1]
+            json.loads(line)  # refuse to forward a non-JSON result
+            print(line)
+            return 0
+        # child stderr already streamed to our stderr (not captured); decide
+        # retryability from the child's JSON-free stdout + a failure marker
+        # file it writes with the exception text
+        marker = _marker_path()
+        err_text = ""
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                err_text = fh.read()
+            os.unlink(marker)
+        low = err_text.lower()
+        if not any(token in low for token in _RETRYABLE):
+            print("bench.py: non-retryable failure, giving up", file=sys.stderr)
+            return proc.returncode or 1
+        if attempt < attempts:
+            print(
+                f"bench.py: TPU unavailable (attempt {attempt}); "
+                f"retrying in {backoff:.0f}s",
+                file=sys.stderr,
+            )
+            time.sleep(backoff)
+    print(f"bench.py: giving up after {attempts} attempts", file=sys.stderr)
+    return 1
+
+
+def _marker_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_last_error"
+    )
+
+
 def main():
-    jax_sps = bench_jax()
+    try:
+        jax_sps = bench_jax()
+        _note(f"torch-CPU baseline: {REF_STEPS} steps")
+    except Exception as e:
+        # leave the exception text where the supervisor can classify it
+        with open(_marker_path(), "w") as fh:
+            fh.write(f"{type(e).__name__}: {e}")
+        raise
     try:
         ref_sps = bench_torch_cpu()
         ratio = round(jax_sps / ref_sps, 2)
@@ -196,4 +284,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("HINT_TPU_BENCH_CHILD"):
+        main()
+    else:
+        sys.exit(_supervise())

@@ -12,6 +12,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Set the ENV VAR, not just jax.config: utils.respect_env_platforms() (called
+# by enable_compilation_cache below and by every CLI entry point a test may
+# exercise) re-asserts JAX_PLATFORMS from the environment — with the session's
+# JAX_PLATFORMS=axon still set, tests would silently reacquire the shared TPU
+# and wedge against whatever job owns it (the round-3 starved-pytest bug).
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
