@@ -25,7 +25,14 @@ from hint_tpu.ops.clamp import soft_clamp_exp, soft_clamp_log
 from hint_tpu.ops.householder import HouseholderPerm
 from hint_tpu.ops.coupling import AffineCoupling, ExternalAffineCoupling
 from hint_tpu.ops.hac import HierarchicalAffineCoupling
-from hint_tpu.models.flow import Flow, ScannedRepeat, TwoLaneFlow
+from hint_tpu.models.flow import (
+    Flow,
+    ScannedRepeat,
+    TwoLaneFlow,
+    to_stacked_tree,
+    to_unrolled_tree,
+    unrolled_view,
+)
 from hint_tpu.models import builders
 
 __all__ = [
@@ -38,6 +45,9 @@ __all__ = [
     "HierarchicalAffineCoupling",
     "Flow",
     "ScannedRepeat",
+    "to_stacked_tree",
+    "to_unrolled_tree",
+    "unrolled_view",
     "TwoLaneFlow",
     "builders",
 ]

@@ -34,12 +34,22 @@ def _add_common(p):
                         "on-chip A/B measured it 11-17%% slower at this model scale; "
                         "useful only when HBM is the binding constraint - docs/perf.md)")
     p.add_argument("--no-remat", action="store_true", help=argparse.SUPPRESS)  # legacy no-op
+    p.add_argument("--scan-blocks", default="auto", choices=["auto", "on", "off"],
+                   help="lax.scan over repeated blocks (single-lane inn/hint "
+                        "chains): compile time O(1) in depth, math identical "
+                        "to the unrolled build. 'auto' = on for n_blocks >= 16")
     p.add_argument("--lr-semantics", default="legacy", choices=["legacy", "modern"],
                    help="post-warmup StepLR behavior: 'legacy' = torch-1.x closed form "
                         "(the schedule the reference was written against), 'modern' = "
                         "torch>=1.4 chainable semantics the reference executes today "
                         "(~28x lower post-warmup lr; see train/optim.py)")
 
+
+
+def _scan_blocks_arg(args):
+    """Translate the --scan-blocks tri-state into the Config API's
+    Optional[bool] (None = auto: scan when n_blocks >= 16)."""
+    return {"auto": None, "on": True, "off": False}[getattr(args, "scan_blocks", "auto")]
 
 def cmd_list(args):
     from hint_tpu.configs import list_configs
@@ -72,7 +82,7 @@ def cmd_train(args):
         cfg = type(cfg)(**{**cfg.__dict__, **overrides})
     print(f"config: {cfg.name} (suffix {cfg.suffix})")
     (x_tr, y_tr), (x_te, y_te) = cfg.load_data(args.cache_dir, args.uci_root)
-    trainer = cfg.make_trainer(compute_dtype=args.dtype, impl=args.impl, lr_semantics=args.lr_semantics, remat=getattr(args, "remat", False))
+    trainer = cfg.make_trainer(compute_dtype=args.dtype, impl=args.impl, lr_semantics=args.lr_semantics, remat=getattr(args, "remat", False), scan_blocks=_scan_blocks_arg(args))
     if args.plot_dir:
         from hint_tpu.monitor import make_monitor
 
@@ -90,7 +100,7 @@ def cmd_train(args):
     if args.save:
         def ckpt_fn(state, epoch):
             if (epoch + 1) % args.save_every == 0 or epoch + 1 == cfg.n_epochs:
-                checkpoint.save_npz(args.save, state)
+                checkpoint.save_npz(args.save, state, model=trainer.model)
 
     import contextlib
 
@@ -102,7 +112,7 @@ def cmd_train(args):
     resume_state = None
     if args.resume:
         template = trainer.init_state(jax.random.PRNGKey(args.seed))
-        resume_state = checkpoint.load_npz(args.resume, template)
+        resume_state = checkpoint.load_npz(args.resume, template, model=trainer.model)
         print(f"resuming from {args.resume} at epoch {int(resume_state.epoch)}")
 
     with prof:
@@ -121,7 +131,7 @@ def cmd_train(args):
         ll = -final - (d / 2) * np.log(2 * np.pi)  # run_uci_experiments.py:71-72
         print(f"test log-likelihood: {ll:.3f} nats")
     if args.save:
-        checkpoint.save_npz(args.save, state)
+        checkpoint.save_npz(args.save, state, model=trainer.model)
         print(f"saved checkpoint to {args.save}")
     return final
 
@@ -135,9 +145,9 @@ def cmd_evaluate(args):
 
     cfg = get_config(args.config)
     (_, _), (x_te, y_te) = cfg.load_data(args.cache_dir, args.uci_root)
-    trainer = cfg.make_trainer(compute_dtype=args.dtype, impl=args.impl, lr_semantics=args.lr_semantics, remat=getattr(args, "remat", False))
+    trainer = cfg.make_trainer(compute_dtype=args.dtype, impl=args.impl, lr_semantics=args.lr_semantics, remat=getattr(args, "remat", False), scan_blocks=_scan_blocks_arg(args))
     template = trainer.init_state(jax.random.PRNGKey(args.seed))
-    state = checkpoint.load_npz(args.ckpt, template)
+    state = checkpoint.load_npz(args.ckpt, template, model=trainer.model)
     losses, nll_x = trainer.eval_epoch(
         state.params,
         jnp.asarray(x_te),
@@ -165,9 +175,9 @@ def cmd_sample(args):
     from hint_tpu.train import checkpoint
 
     cfg = get_config(args.config)
-    trainer = cfg.make_trainer(compute_dtype=args.dtype, impl=args.impl, lr_semantics=args.lr_semantics, remat=getattr(args, "remat", False))
+    trainer = cfg.make_trainer(compute_dtype=args.dtype, impl=args.impl, lr_semantics=args.lr_semantics, remat=getattr(args, "remat", False), scan_blocks=_scan_blocks_arg(args))
     template = trainer.init_state(jax.random.PRNGKey(args.seed))
-    state = checkpoint.load_npz(args.ckpt, template)
+    state = checkpoint.load_npz(args.ckpt, template, model=trainer.model)
     y_target = None
     if cfg.is_conditional:
         y_target = args.y_target or cfg.vis_y_target

@@ -111,16 +111,35 @@ class Config:
             tail = tail[len(self.data) + 1 :]
         return f"{base}_{tail.replace('_', '-')}"
 
-    def build_model(self, compute_dtype: str = "float32", impl: str = "levelwise"):
+    def resolve_scan_blocks(self, scan_blocks: Optional[bool] = None) -> bool:
+        """Resolve the ``scan_blocks`` tri-state: None (auto) enables
+        ``lax.scan`` over repeated blocks for deep single-lane chains
+        (n_blocks >= 16) — compile time becomes O(1) in depth (measured
+        14.6 s -> 6.5 s on the 32-block grid configs) while training is
+        bit-identical to the unrolled build (init happens in the unrolled
+        view; checkpoints are layout-canonical — see models/flow.py)."""
+        if scan_blocks is None:
+            return self.model_type in ("inn", "hint") and self.n_blocks >= 16
+        return bool(scan_blocks) and self.model_type in ("inn", "hint")
+
+    def build_model(
+        self,
+        compute_dtype: str = "float32",
+        impl: str = "levelwise",
+        scan_blocks: Optional[bool] = None,
+    ):
         d, dy = self.ndim_x, _DATA_DIMS[self.data][1]
+        scan = self.resolve_scan_blocks(scan_blocks)
         if self.model_type == "inn":
             return builders.inn(
-                d, self.n_blocks, self.hidden, self.perm_fixed, compute_dtype=compute_dtype
+                d, self.n_blocks, self.hidden, self.perm_fixed, compute_dtype=compute_dtype,
+                scan_blocks=scan,
             )
         if self.model_type == "hint":
             return builders.hint(
                 d, self.n_blocks, self.c_internal, self.perm_fixed, self.max_splits,
                 reshuffle=self.reshuffle, compute_dtype=compute_dtype, impl=impl,
+                scan_blocks=scan,
             )
         if self.model_type == "cinn":
             return builders.cinn(
@@ -153,10 +172,13 @@ class Config:
         # and 11% slower at bf16 — the round-2 "HBM-bound" justification
         # rested on tunnel-polluted wall numbers (docs/perf.md)
         remat: bool = False,
+        scan_blocks: Optional[bool] = None,
     ):
         from hint_tpu.train.trainer import Trainer
 
-        model = self.build_model(compute_dtype=compute_dtype, impl=impl)
+        model = self.build_model(
+            compute_dtype=compute_dtype, impl=impl, scan_blocks=scan_blocks
+        )
         if remat:
             from hint_tpu.models.flow import with_remat
 

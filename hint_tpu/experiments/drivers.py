@@ -145,7 +145,8 @@ def train_and_evaluate(
                     config, seed + i, cache_dir, uci_root, monitor
                 )
                 checkpoint.save_npz(
-                    os.path.join(results_dir, f"{_dash(config)}_{i}.npz"), state
+                    os.path.join(results_dir, f"{_dash(config)}_{i}.npz"), state,
+                    model=trainer.model,
                 )
                 sample = _draw_sample(cfg, trainer, state, n_eval_samples, seed + 1000 + i)
                 data_model = cfg.data_model()
@@ -210,7 +211,8 @@ def test_likelihood(
             likelihoods, corr_mses = [], []
             for i in range(n_runs):
                 state = checkpoint.load_npz(
-                    os.path.join(results_dir, f"{_dash(config)}_{i}.npz"), template
+                    os.path.join(results_dir, f"{_dash(config)}_{i}.npz"), template,
+                    model=trainer.model,
                 )
                 losses = trainer.eval_epoch(
                     state.params,
@@ -274,7 +276,7 @@ def uci_train_and_eval(
         for i in range(n_runs):
             try:
                 cfg, trainer, state, final = _train_one(config, seed + i, "data", uci_root, monitor)
-                checkpoint.save_npz(os.path.join(results_dir, f"{_dash(config)}_{i}.npz"), state)
+                checkpoint.save_npz(os.path.join(results_dir, f"{_dash(config)}_{i}.npz"), state, model=trainer.model)
                 test_losses.append(final)
             except Exception:
                 print(f'ERROR with config "{config}"', i)

@@ -181,6 +181,90 @@ class ScannedRepeat:
         return self.n * sum(getattr(b, "n_params", 0) for b in self.unit)
 
 
+# -- scanned <-> unrolled layout conversion -------------------------------------
+#
+# A ScannedRepeat holds its params stacked along a leading repeat axis; the
+# equivalent unrolled chain holds one entry per op. These helpers convert any
+# param-shaped tree (params, Adam mu/nu) between the two layouts so that
+#
+# * initialization is ALWAYS performed in the unrolled layout (Trainer
+#   draws keys per unrolled op), making scanned and unrolled builds of the
+#   same config start from bit-identical weights, and
+# * checkpoints are ALWAYS saved in the unrolled layout (train/checkpoint.py),
+#   so a file written by either build loads into either build.
+
+
+def unrolled_view(model):
+    """The equivalent trace-time-unrolled model (identity if nothing is
+    scanned). For a Flow, every ScannedRepeat is expanded into its unit ops
+    repeated n times — exactly the chain the builders construct with
+    ``scan_blocks=False``."""
+    if isinstance(model, Flow) and any(
+        isinstance(b, ScannedRepeat) for b in model.bijectors
+    ):
+        ops = []
+        for b in model.bijectors:
+            if isinstance(b, ScannedRepeat):
+                ops.extend(b.unit * b.n)
+            else:
+                ops.append(b)
+        return dataclasses.replace(model, bijectors=tuple(ops))
+    return model
+
+
+def to_unrolled_tree(model, tree: Params) -> Params:
+    """Convert a param-shaped tree from ``model``'s (possibly scanned) layout
+    to the unrolled layout. Identity (same object) if nothing is scanned."""
+    if not (
+        isinstance(model, Flow)
+        and any(isinstance(b, ScannedRepeat) for b in model.bijectors)
+    ):
+        return tree
+    out, j = {}, 0
+    for i, b in enumerate(model.bijectors):
+        p = tree[_op_key(i)]
+        if isinstance(b, ScannedRepeat):
+            u = len(b.unit)
+            for k in range(b.n):
+                for ii in range(u):
+                    out[_op_key(j + k * u + ii)] = jax.tree.map(
+                        lambda a, k=k: a[k], p[_op_key(ii)]
+                    )
+            j += b.n * u
+        else:
+            out[_op_key(j)] = p
+            j += 1
+    return out
+
+
+def to_stacked_tree(model, unrolled: Params) -> Params:
+    """Inverse of :func:`to_unrolled_tree`: restack an unrolled-layout tree
+    into ``model``'s scanned layout. Identity (same object) if nothing is
+    scanned."""
+    if not (
+        isinstance(model, Flow)
+        and any(isinstance(b, ScannedRepeat) for b in model.bijectors)
+    ):
+        return unrolled
+    out, j = {}, 0
+    for i, b in enumerate(model.bijectors):
+        if isinstance(b, ScannedRepeat):
+            u = len(b.unit)
+            per_repeat = [
+                {
+                    _op_key(ii): unrolled[_op_key(j + k * u + ii)]
+                    for ii in range(u)
+                }
+                for k in range(b.n)
+            ]
+            out[_op_key(i)] = jax.tree.map(lambda *xs: jnp.stack(xs), *per_repeat)
+            j += b.n * u
+        else:
+            out[_op_key(i)] = unrolled[_op_key(j)]
+            j += 1
+    return out
+
+
 @dataclasses.dataclass(frozen=True)
 class TwoLaneFlow:
     """Conditional HINT: joint invertible map (y, x) <-> (z_y, z_x).

@@ -8,6 +8,13 @@ exactly, in two interchangeable formats:
 
 * ``.npz``: dependency-free flat key-path archive (default; portable);
 * orbax: for large-scale / async checkpointing, if available.
+
+Layout canonicalization: scanned models (``ScannedRepeat``, models/flow.py)
+hold params stacked along a repeat axis, which would make their flat key
+paths incompatible with the equivalent unrolled build. Pass ``model=`` to
+``save_npz``/``load_npz`` and the file is always written in the UNROLLED
+layout — so a checkpoint written by either build of a config loads into
+either build, and all pre-existing (unrolled) checkpoints keep working.
 """
 
 from __future__ import annotations
@@ -32,7 +39,26 @@ def _flatten(tree: Any, prefix: str = ""):
     return out
 
 
-def save_npz(path: str, state: TrainState) -> None:
+def _unroll_state(state: TrainState, model) -> TrainState:
+    """Rewrite every param-shaped tree of ``state`` into the unrolled layout
+    (identity when ``model`` is None or nothing in it is scanned)."""
+    if model is None:
+        return state
+    from hint_tpu.models.flow import to_unrolled_tree
+
+    params = to_unrolled_tree(model, state.params)
+    if params is state.params:
+        return state
+    opt = AdamState(
+        step=state.opt.step,
+        mu=to_unrolled_tree(model, state.opt.mu),
+        nu=to_unrolled_tree(model, state.opt.nu),
+    )
+    return TrainState(params=params, opt=opt, epoch=state.epoch)
+
+
+def save_npz(path: str, state: TrainState, model=None) -> None:
+    state = _unroll_state(state, model)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     arrays = {}
     arrays.update(_flatten(state.params, "params"))
@@ -55,26 +81,45 @@ def _unflatten_into(template: Any, arrays, prefix: str):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
-def load_npz(path: str, template: TrainState) -> TrainState:
-    """Load into the structure of ``template`` (shapes are validated)."""
+def load_npz(path: str, template: TrainState, model=None) -> TrainState:
+    """Load into the structure of ``template`` (shapes are validated).
+    ``model``: required for scanned models — the on-disk layout is unrolled
+    and gets restacked into the template's scanned layout."""
+    utemplate = _unroll_state(template, model)
     with np.load(path) as arrays:
-        params = _unflatten_into(template.params, arrays, "params")
-        mu = _unflatten_into(template.opt.mu, arrays, "mu")
-        nu = _unflatten_into(template.opt.nu, arrays, "nu")
+        params = _unflatten_into(utemplate.params, arrays, "params")
+        mu = _unflatten_into(utemplate.opt.mu, arrays, "mu")
+        nu = _unflatten_into(utemplate.opt.nu, arrays, "nu")
+        if utemplate is not template:
+            from hint_tpu.models.flow import to_stacked_tree
+
+            params = to_stacked_tree(model, params)
+            mu = to_stacked_tree(model, mu)
+            nu = to_stacked_tree(model, nu)
         opt = AdamState(
             step=jax.numpy.asarray(arrays["opt_step"]), mu=mu, nu=nu
         )
         return TrainState(params=params, opt=opt, epoch=jax.numpy.asarray(arrays["epoch"]))
 
 
-def save_params_npz(path: str, params: Any) -> None:
+def save_params_npz(path: str, params: Any, model=None) -> None:
     """Weights-only save (the reference's ``save()`` analogue,
     train_unconditional.py:38-40)."""
+    if model is not None:
+        from hint_tpu.models.flow import to_unrolled_tree
+
+        params = to_unrolled_tree(model, params)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez(path, **_flatten(params, "params"))
 
 
-def load_params_npz(path: str, template: Any) -> Any:
+def load_params_npz(path: str, template: Any, model=None) -> Any:
+    if model is not None:
+        from hint_tpu.models.flow import to_unrolled_tree, to_stacked_tree
+
+        utemplate = to_unrolled_tree(model, template)
+        with np.load(path) as arrays:
+            return to_stacked_tree(model, _unflatten_into(utemplate, arrays, "params"))
     with np.load(path) as arrays:
         return _unflatten_into(template, arrays, "params")
 

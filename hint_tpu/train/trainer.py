@@ -119,10 +119,20 @@ class Trainer:
         cpu = _host_cpu_device()
         with jax.default_device(cpu):
             k_init, k_scale = jax.random.split(key)
-            params = self.model.init(k_init)
-            mask = self.model.trainable_mask(params)
+            # Initialize in the UNROLLED view and restack: a scanned build
+            # (ScannedRepeat) then starts from bit-identical weights as the
+            # unrolled build of the same config — key splits and the
+            # init_trainables leaf order are those of the unrolled chain.
+            # For unscanned models both calls are identities.
+            from hint_tpu.models.flow import to_stacked_tree, unrolled_view
+
+            umodel = unrolled_view(self.model)
+            params = umodel.init(k_init)
+            umask = umodel.trainable_mask(params)
             if self.init_scale > 0:
-                params = init_trainables(params, mask, k_scale, self.init_scale)
+                params = init_trainables(params, umask, k_scale, self.init_scale)
+            params = to_stacked_tree(self.model, params)
+            mask = self.model.trainable_mask(params)
         if jax.default_backend() != "cpu":
             params = jax.device_put(params, jax.devices()[0])
         opt_init, _ = make_optimizer(self.adam_betas, self.l2_weight_reg, mask)
