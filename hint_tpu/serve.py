@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import math
+import threading
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -77,8 +78,21 @@ class InferenceService:
                 d = z.shape[-1]
                 return -(0.5 * jnp.sum(z**2, axis=-1) + 0.5 * d * LOG_2PI) + ld
 
-        self._sample_fn = jax.jit(_sample)
-        self._log_prob_fn = jax.jit(_log_prob)
+        # the server handles requests on multiple threads; device dispatch is
+        # serialized per jit call (not per request) so a paged 65k-sample
+        # request can't starve a small log_prob — and /health, which never
+        # touches the device, needs no lock at all
+        self._device_lock = threading.Lock()
+        self._jit_sample = jax.jit(_sample)
+        self._jit_log_prob = jax.jit(_log_prob)
+
+    def _sample_fn(self, params, key, y):
+        with self._device_lock:
+            return self._jit_sample(params, key, y)
+
+    def _log_prob_fn(self, params, x, y):
+        with self._device_lock:
+            return self._jit_log_prob(params, x, y)
 
     # -- helpers -------------------------------------------------------------
 
@@ -163,19 +177,24 @@ class InferenceService:
         cfg = get_config(config_name)
         trainer = cfg.make_trainer()
         template = trainer.init_state(jax.random.PRNGKey(0))
-        state = checkpoint.load_npz(ckpt_path, template)
+        state = checkpoint.load_npz(ckpt_path, template, model=trainer.model)
         return cls(cfg, state.params, **kw)
 
 
 # /sample HTTP cap: paging (see InferenceService.sample) makes any n cheap to
-# *compute*, but the JSON response is O(n * ndim_x); one blocking
-# single-threaded request must stay bounded. Page client-side for more.
+# *compute*, but the JSON response is O(n * ndim_x) host memory per handler
+# thread, so one request must stay bounded. Page client-side for more.
 MAX_HTTP_SAMPLE_N = 65_536
 
 
 def make_server(service: InferenceService, host: str = "127.0.0.1", port: int = 8000):
-    """Build (but don't start) the HTTP server — separable for tests."""
-    from http.server import BaseHTTPRequestHandler, HTTPServer
+    """Build (but don't start) the HTTP server — separable for tests.
+
+    Threaded: each request gets its own handler thread, so /health (no
+    device work) answers immediately even while a large /sample is paging
+    through the chip; concurrent compute requests serialize on the
+    service's per-jit-call device lock."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, payload: dict):
@@ -219,11 +238,32 @@ def make_server(service: InferenceService, host: str = "127.0.0.1", port: int = 
         def log_message(self, fmt, *args):  # quiet
             pass
 
-    return HTTPServer((host, port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.daemon_threads = True  # in-flight handlers don't block shutdown
+    return server
 
 
 def serve(service: InferenceService, host: str = "127.0.0.1", port: int = 8000):
-    """Blocking single-process HTTP server over the service."""
+    """Blocking multi-threaded HTTP server over the service.
+
+    Shuts down cleanly on SIGINT/SIGTERM (finishes the accept loop and
+    returns instead of dying mid-socket)."""
+    import signal
+
     httpd = make_server(service, host, port)
+
+    def _stop(signum, frame):
+        # shutdown() must run off the serve_forever thread
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        try:
+            signal.signal(sig, _stop)
+        except ValueError:  # not the main thread (embedded use) — skip
+            pass
     print(f"serving {service.cfg.name} on http://{host}:{httpd.server_port}")
-    httpd.serve_forever()
+    try:
+        httpd.serve_forever()
+    finally:
+        httpd.server_close()
+    print("server stopped")

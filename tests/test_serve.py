@@ -155,3 +155,107 @@ def test_http_roundtrip(svc):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def _slowed(svc, monkeypatch, per_call=0.05):
+    """Make each device call take >= per_call seconds so request overlap is
+    deterministic on fast hosts."""
+    import time as _time
+
+    real = svc._jit_sample
+
+    def slow(params, key, y):
+        _time.sleep(per_call)
+        return real(params, key, y)
+
+    monkeypatch.setattr(svc, "_jit_sample", slow)
+
+
+def test_health_answers_during_long_sample(svc, monkeypatch):
+    """/health (no device work) must respond while a paged /sample is still
+    in flight — the server is threaded and the device lock is per jit call."""
+    _slowed(svc, monkeypatch)
+    httpd = make_server(svc, port=0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        port = httpd.server_port
+        result = {}
+
+        def long_sample():
+            result["resp"] = _post(port, "/sample", {"n": 100, "seed": 1})  # 13 pages
+
+        t = threading.Thread(target=long_sample)
+        t.start()
+        import time as _time
+
+        _time.sleep(0.1)  # let the sample start paging
+        assert t.is_alive(), "sample finished too fast to test overlap"
+        t0 = _time.perf_counter()
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=5) as r:
+            assert json.loads(r.read())["status"] == "ok"
+        health_latency = _time.perf_counter() - t0
+        assert t.is_alive(), "sample finished before health returned"
+        t.join(timeout=30)
+        code, out = result["resp"]
+        assert code == 200 and np.asarray(out["x"]).shape == (100, svc.cfg.ndim_x)
+        # health answered in a fraction of the sample's 13*0.05s device time
+        assert health_latency < 0.5
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_three_concurrent_clients(svc):
+    """Concurrent compute requests serialize on the device lock and all
+    succeed with per-seed-correct results."""
+    httpd = make_server(svc, port=0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        port = httpd.server_port
+        results = [None] * 3
+
+        def client(i):
+            results[i] = _post(port, "/sample", {"n": 6, "seed": 100 + i})
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        for i, (code, out) in enumerate(results):
+            assert code == 200
+            np.testing.assert_array_equal(
+                np.asarray(out["x"], np.float32),
+                svc.sample(6, seed=100 + i).astype(np.float32),
+            )
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_graceful_shutdown_finishes_inflight_request(svc, monkeypatch):
+    """shutdown() during an in-flight request stops the accept loop but the
+    in-flight handler still completes and returns 200."""
+    _slowed(svc, monkeypatch)
+    httpd = make_server(svc, port=0)
+    serve_thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    serve_thread.start()
+    port = httpd.server_port
+    result = {}
+
+    def long_sample():
+        result["resp"] = _post(port, "/sample", {"n": 64, "seed": 2})  # 8 pages
+
+    t = threading.Thread(target=long_sample)
+    t.start()
+    import time as _time
+
+    _time.sleep(0.1)
+    assert t.is_alive()
+    httpd.shutdown()  # returns once the accept loop exits
+    serve_thread.join(timeout=10)
+    assert not serve_thread.is_alive()
+    t.join(timeout=30)
+    code, out = result["resp"]
+    assert code == 200 and np.asarray(out["x"]).shape == (64, svc.cfg.ndim_x)
+    httpd.server_close()
