@@ -93,30 +93,76 @@ def prepare_samples(
         except Exception:
             pass
     n_chunks = max(1, -(-n_total // chunk))  # ceil: never under-generate
+    if n_chunks * chunk != n_total:
+        # memmap rows are written at i*chunk offsets; a ragged last chunk
+        # would silently truncate — round the pool up instead
+        n_total = n_chunks * chunk
     # Seed space is offset away from the training/test streams:
     # prepare_toy_data draws train with seed 0 and test with seed 1, so chunk
     # seeds starting at `seed + 0` would make the ABC "ground-truth" pool
     # contain the exact training set (identical mt19937_64 streams) and bias
     # the quantile-ABC posterior toward data the compared models trained on.
-    args = [
-        (model_factory, chunk, ABC_SEED_OFFSET + seed + i, engine)
-        for i in range(n_chunks)
-    ]
+    #
+    # Chunk i always draws from stream ABC_SEED_OFFSET + seed + i, so a pool
+    # grown from 1e7 to 1e8 rows (same chunk size) extends the smaller pool
+    # exactly: the first rows are bit-identical, results stay comparable.
     t0 = time.time()
     n_workers = n_workers or os.cpu_count()
-    # fork, deliberately: spawn re-imports __main__ (hangs REPL/stdin callers
-    # without a __main__ guard), and the workers touch only numpy/scipy — no
-    # JAX/XLA state crosses the fork.
-    mp = mp.get_context("fork")
-    with mp.Pool(n_workers) as pool:
-        parts = pool.map(_sample_chunk, args, chunksize=4)
-    x = np.concatenate([p[0] for p in parts], axis=0)[:n_total]
-    y = np.concatenate([p[1] for p in parts], axis=0)[:n_total]
-    np.save(fx, x)
-    np.save(fy, y)
-    print(f"prepared {x.shape[0]:,} prior samples in {time.time() - t0:.1f}s "
+
+    # At reference scale (rejection_sampling.py:76: N = int(1e8)) the pool is
+    # 8-40 GB; build it row-streamed into uncompressed .npy memmaps written
+    # in-place at chunk offsets, with chunk-granular resume via a sidecar
+    # progress file — a multi-hour generation survives interruption.
+    tfx, tfy = fx + ".building", fy + ".building"
+    prog_path = fx + ".progress"
+    done = set()
+    x_probe, y_probe = _sample_chunk((model_factory, 2, ABC_SEED_OFFSET + seed, engine))
+    if os.path.exists(tfx) and os.path.exists(tfy) and os.path.exists(prog_path):
+        with open(prog_path) as f:
+            hdr = f.readline().split()
+        if hdr[:3] == [str(n_total), str(chunk), str(seed)]:
+            done = {int(l) for l in open(prog_path).read().split()[3:]}
+    if done:  # resume: reopen in place (header already on disk)
+        xs = np.lib.format.open_memmap(tfx, mode="r+")
+        ys = np.lib.format.open_memmap(tfy, mode="r+")
+        assert xs.shape == (n_total, x_probe.shape[1]), xs.shape
+    else:
+        xs = np.lib.format.open_memmap(
+            tfx, mode="w+", dtype=np.float32, shape=(n_total, x_probe.shape[1])
+        )
+        ys = np.lib.format.open_memmap(
+            tfy, mode="w+", dtype=np.float32, shape=(n_total, y_probe.shape[1])
+        )
+    if not done:
+        with open(prog_path, "w") as f:
+            f.write(f"{n_total} {chunk} {seed}\n")
+    todo = [i for i in range(n_chunks) if i not in done]
+    if todo:
+        args = [(model_factory, chunk, ABC_SEED_OFFSET + seed + i, engine) for i in todo]
+        # fork, deliberately: spawn re-imports __main__ (hangs REPL/stdin
+        # callers without a __main__ guard), and the workers touch only
+        # numpy/scipy — no JAX/XLA state crosses the fork.
+        mp = mp.get_context("fork")
+        with mp.Pool(n_workers) as pool, open(prog_path, "a") as prog:
+            for j, (xc, yc) in enumerate(pool.imap(_sample_chunk, args, chunksize=4)):
+                i = todo[j]
+                xs[i * chunk : (i + 1) * chunk] = xc[:chunk]
+                ys[i * chunk : (i + 1) * chunk] = yc[:chunk]
+                prog.write(f"{i}\n")
+                if (j + 1) % max(1, len(todo) // 100) == 0:
+                    prog.flush()
+                    rate = (j + 1) * chunk / max(time.time() - t0, 1e-9)
+                    print(f"prepare_samples[{model.name}]: {j + 1}/{len(todo)} chunks "
+                          f"({rate:,.0f} rows/s, ETA {(len(todo) - j - 1) * chunk / rate / 60:.0f} min)",
+                          flush=True)
+    xs.flush(); ys.flush()
+    del xs, ys
+    os.replace(tfx, fx)
+    os.replace(tfy, fy)
+    os.remove(prog_path)
+    print(f"prepared {n_total:,} prior samples in {time.time() - t0:.1f}s "
           f"({n_workers} workers)")
-    return x, y
+    return np.load(fx, mmap_mode="r"), np.load(fy, mmap_mode="r")
 
 
 # -- quantile ABC --------------------------------------------------------------------
