@@ -29,10 +29,18 @@ for proc in /proc/[0-9]*; do
     p="${proc#/proc/}"
     case "$self_chain" in *" $p "*) continue ;; esac
     exe="$(readlink "$proc/exe" 2>/dev/null)" || continue
-    case "$exe" in *python*) ;; *) continue ;; esac
     cwd="$(readlink "$proc/cwd" 2>/dev/null)" || continue
     case "$cwd" in "$REPO"*) ;; *) continue ;; esac
     cmd="$(tr '\0' ' ' < "$proc/cmdline" 2>/dev/null)"
+    case "$exe" in
+        *python*) ;;
+        # shell wrappers of OUR OWN tools (e.g. wait_tpu_then_grid.sh's
+        # probe loop respawns python children if only the child dies);
+        # still repo-cwd-scoped, still never an arbitrary pattern
+        *bash* | *dash | */sh)
+            case "$cmd" in *"$REPO/tools/"*.sh* | *tools/wait_tpu_then_grid.sh* | *tools/_run_*.sh*) ;; *) continue ;; esac ;;
+        *) continue ;;
+    esac
     found=1
     if [ "$KILL" -eq 1 ]; then
         echo "killing $p: $cmd"
