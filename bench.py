@@ -198,12 +198,13 @@ def bench_torch_cpu() -> float:
     return REF_STEPS / dt
 
 
-def _supervise() -> int:
+def _supervise(child_cmd=None) -> int:
     """Run the benchmark in child processes, retrying transient TPU failures.
 
     Returns the exit code for the parent process. The child's single JSON
     stdout line is forwarded verbatim on success; its stderr streams through
-    unconditionally so progress stays visible.
+    unconditionally so progress stays visible. ``child_cmd`` overrides the
+    child argv (tests substitute a scripted child).
     """
     attempts = int(os.environ.get("HINT_TPU_BENCH_ATTEMPTS", 10))
     backoff = float(os.environ.get("HINT_TPU_BENCH_BACKOFF", 60))
@@ -211,7 +212,7 @@ def _supervise() -> int:
     for attempt in range(1, attempts + 1):
         print(f"bench.py: attempt {attempt}/{attempts}", file=sys.stderr)
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            child_cmd or [sys.executable, os.path.abspath(__file__)],
             env=env,
             stdout=subprocess.PIPE,
             text=True,
