@@ -20,13 +20,17 @@ if [ "$rows" -lt 100000000 ]; then
 fi
 
 ARCH=abc/pool1e7_archive
-mkdir -p "$ARCH"
-# per-target GT posteriors + comparisons computed against the 1e7 pool;
-# the GT conditional correlation cache in data/ is pool-derived too
-for p in abc/lens-shape1 abc/lens-shape1_conditional_comparison_*.pkl \
-         data/lens-shape1_corr_conditional_sample.npy data/lens-shape1_corr_conditional.npy; do
-    [ -e "$p" ] && mv "$p" "$ARCH/" && echo "archived $p"
-done
+# per-target GT posteriors + comparisons computed against the 1e7 pool; the
+# GT conditional correlation cache in data/ is pool-derived too. Skip when
+# the archive already exists (tools/precompute_lens_gt.py archives the same
+# set and then REBUILDS abc/lens-shape1 with 1e8-pool GT — don't move that).
+if [ ! -d "$ARCH" ]; then
+    mkdir -p "$ARCH"
+    for p in abc/lens-shape1 abc/lens-shape1_conditional_comparison_*.pkl \
+             data/lens-shape1_corr_conditional_sample.npy data/lens-shape1_corr_conditional.npy; do
+        [ -e "$p" ] && mv "$p" "$ARCH/" && echo "archived $p"
+    done
+fi
 
 for run in 0 1 2; do
     python -m hint_tpu.experiments.campaign compare \
