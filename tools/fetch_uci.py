@@ -122,7 +122,13 @@ def validate(root: str) -> int:
             print(f"{name}: MISSING")
             rc = 1
             continue
-        (x_tr, _), (x_te, _) = prepare_uci_data(name, root)
+        try:
+            (x_tr, _), (x_te, _) = prepare_uci_data(name, root)
+        except Exception as e:
+            # malformed/wrong-shape raw file: the preprocessing raises
+            print(f"{name}: INVALID ({type(e).__name__}: {e})")
+            rc = 1
+            continue
         d = x_tr.shape[1]
         status = "ok" if d == EXPECTED_DIMS[name] else f"WRONG DIM (want {EXPECTED_DIMS[name]})"
         print(f"{name}: d={d} train={x_tr.shape[0]} test={x_te.shape[0]} -> {status}")
