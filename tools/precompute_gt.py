@@ -1,11 +1,14 @@
 #!/usr/bin/env python
-"""Recompute the lens conditional ABC ground truth against the 1e8 pool,
+"""Recompute a family's conditional ABC ground truth against the 1e8 pool,
 REUSING the 1e7 run's y-targets (VERDICT r3 #3).
+
+Usage: python tools/precompute_gt.py [lens|plus]
 
 Keeping the targets fixed makes the pool-size effect directly attributable:
 the same 1000 observations, a 10x larger prior pool, so the quantile-ABC
-threshold (distance to the (n+1)-th neighbour) must drop ~10^(1/2)x for a
-2-dim observation and the GT posterior sharpens correspondingly.
+threshold (distance to the (n+1)-th neighbour) must drop ~10^(1/d_y)x
+(d_y=2 lens -> sqrt(10); d_y=4 plus -> 1.78) and the GT posterior sharpens
+correspondingly.
 
 Steps:
 1. archive abc/lens-shape1/ (old per-target GT) + old comparison pickles +
@@ -13,8 +16,8 @@ Steps:
    as tools/rerun_lens_conditional_1e8.sh, done here so the y-targets can be
    read back from the archive);
 2. for each archived target: quantile_ABC against the new pool, write the
-   fresh abc/lens-shape1/{i:05}.pkl the comparison sweep will consume;
-3. record old-vs-new thresholds in artifacts/lens_gt_1e8_thresholds.json.
+   fresh abc/<name>/{i:05}.pkl the comparison sweep will consume;
+3. record old-vs-new thresholds in artifacts/<fam>_gt_1e8_thresholds.json.
 
 Resumable per target. Works on CPU (slow, ~2-5 s/target) or TPU.
 """
@@ -38,22 +41,25 @@ import numpy as np
 
 ABC = "abc"
 ARCH = os.path.join(ABC, "pool1e7_archive")
-GT_DIR = os.path.join(ABC, "lens-shape1")
+FAMILY = (sys.argv[1] if len(sys.argv) > 1 else "lens").lower()
+NAME = {"lens": "lens-shape1", "plus": "plus-shape"}[FAMILY]
+D_Y = {"lens": 2, "plus": 4}[FAMILY]
+GT_DIR = os.path.join(ABC, NAME)
 N = 4000  # sample_size of the comparison protocol (rejection_sampling.py:88)
 
 
 def archive_once():
-    old_dir = os.path.join(ARCH, "lens-shape1")
+    old_dir = os.path.join(ARCH, NAME)
     if os.path.exists(old_dir):
         return old_dir  # already archived (resume)
     os.makedirs(ARCH, exist_ok=True)
     assert os.path.isdir(GT_DIR), "no existing GT dir to archive"
     shutil.move(GT_DIR, old_dir)
     for pat in (
-        [f"{ABC}/lens-shape1_conditional_comparison_{r}.pkl" for r in range(3)]
-        + [f"{ABC}/lens-shape1_conditional_comparison_{r}.pkl.partial" for r in range(3)]
-        + ["data/lens-shape1_corr_conditional_sample.npy",
-           "data/lens-shape1_corr_conditional.npy"]
+        [f"{ABC}/{NAME}_conditional_comparison_{r}.pkl" for r in range(3)]
+        + [f"{ABC}/{NAME}_conditional_comparison_{r}.pkl.partial" for r in range(3)]
+        + [f"data/{NAME}_corr_conditional_sample.npy",
+           f"data/{NAME}_corr_conditional.npy"]
     ):
         if os.path.exists(pat):
             shutil.move(pat, os.path.join(ARCH, os.path.basename(pat)))
@@ -62,8 +68,8 @@ def archive_once():
 
 
 def main():
-    x = np.load(f"{ABC}/lens-shape1_x_huge.npy", mmap_mode="r")
-    y = np.load(f"{ABC}/lens-shape1_y_huge.npy", mmap_mode="r")
+    x = np.load(f"{ABC}/{NAME}_x_huge.npy", mmap_mode="r")
+    y = np.load(f"{ABC}/{NAME}_y_huge.npy", mmap_mode="r")
     assert x.shape[0] >= int(1e8), f"pool has {x.shape[0]} rows; build it first"
 
     from hint_tpu.evaluation.abc import quantile_ABC
@@ -105,13 +111,14 @@ def main():
     stats["summary"] = {
         "old_mean": float(o.mean()), "new_mean": float(n_.mean()),
         "ratio_mean": float((o / n_).mean()),
-        "expected_ratio_2dim": float(10 ** 0.5),
+        "expected_ratio": float(10 ** (1 / D_Y)),
     }
     os.makedirs("artifacts", exist_ok=True)
-    with open("artifacts/lens_gt_1e8_thresholds.json", "w") as f:
+    with open(f"artifacts/{FAMILY}_gt_1e8_thresholds.json", "w") as f:
         json.dump(stats, f)
     print(f"threshold mean: {o.mean():.4f} -> {n_.mean():.4f} "
-          f"(ratio {float((o / n_).mean()):.2f}, expected ~{10 ** 0.5:.2f} for 2-dim y)")
+          f"(ratio {float((o / n_).mean()):.2f}, expected ~{10 ** (1 / D_Y):.2f} "
+          f"for {D_Y}-dim y)")
 
 
 if __name__ == "__main__":
