@@ -59,6 +59,83 @@ def test_samplers_from_checkpoints(tmp_path, monkeypatch):
     assert x.shape == (8, 20) and np.isfinite(x).all()
 
 
+def test_train_log_is_the_durable_record(tmp_path, monkeypatch):
+    """stage_train must skip a (config, seed) whose train_log entry exists
+    even when its .npz was cleaned up (checkpoints are gitignored bulk),
+    and _load_state must replay the run to regenerate the checkpoint."""
+    import dataclasses
+
+    import hint_tpu.configs as configs_mod
+
+    name = "lens_shape.unconditional_inn_1"
+    real_get = configs_mod.get_config
+    tiny = dataclasses.replace(
+        real_get(name), hidden=8, n_epochs=1, batch_size=64,
+        n_train=128, n_test=64,
+    )
+
+    def fake_get(n):
+        assert n == name
+        return tiny
+
+    monkeypatch.setattr(campaign, "CAMPAIGN_DIR", str(tmp_path))
+    monkeypatch.setattr(configs_mod, "get_config", fake_get)
+    monkeypatch.setattr(campaign, "MODEL_SETS", {("lens", "unconditional"): [name],
+                                                 ("lens", "conditional"): []})
+
+    cache = str(tmp_path / "cache")
+    campaign.stage_train("lens", seeds=(0,), cache_dir=cache, configs=[name])
+    log = campaign._read_log()
+    key = f"{name}|s0|float32"
+    assert key in log and np.isfinite(log[key]["final_test_loss"])
+    ckpt = campaign._ckpt_path(name, 0)
+    assert os.path.exists(ckpt)
+    logged_minutes = log[key]["minutes"]
+
+    # delete the checkpoint: stage_train must NOT retrain (log is durable)
+    os.remove(ckpt)
+    campaign.stage_train("lens", seeds=(0,), cache_dir=cache, configs=[name])
+    assert not os.path.exists(ckpt)
+    assert campaign._read_log()[key]["minutes"] == logged_minutes
+
+
+def test_load_state_replays_cleaned_checkpoint(tmp_path, monkeypatch):
+    import dataclasses
+    import functools
+
+    import hint_tpu.configs as configs_mod
+
+    name = "lens_shape.unconditional_inn_1"
+    real_get = configs_mod.get_config
+    tiny = dataclasses.replace(
+        real_get(name), hidden=8, n_epochs=1, batch_size=64,
+        n_train=128, n_test=64,
+    )
+    monkeypatch.setattr(campaign, "CAMPAIGN_DIR", str(tmp_path))
+    monkeypatch.setattr(configs_mod, "get_config", lambda n: tiny)
+    cache = str(tmp_path / "cache")
+
+    campaign.stage_train("lens", seeds=(0,), cache_dir=cache, configs=[name])
+    ckpt = campaign._ckpt_path(name, 0)
+    with np.load(ckpt) as f:
+        orig = {k: f[k].copy() for k in f.files}
+    os.remove(ckpt)
+
+    # _retrain_ckpt defaults cache_dir="data"; point it at the test cache
+    monkeypatch.setattr(
+        campaign, "_retrain_ckpt",
+        functools.partial(campaign._retrain_ckpt, cache_dir=cache),
+    )
+    cfg, trainer, state = campaign._load_state(name, 0)
+    assert os.path.exists(ckpt)
+    with np.load(ckpt) as f:
+        replay = {k: f[k].copy() for k in f.files}
+    assert set(orig) == set(replay)
+    for k in orig:
+        if orig[k].dtype.kind == "f":
+            np.testing.assert_allclose(orig[k], replay[k], rtol=0, atol=1e-5)
+
+
 def test_report_runs_on_empty(tmp_path, monkeypatch):
     monkeypatch.setattr(campaign, "CAMPAIGN_DIR", str(tmp_path))
     report = campaign.stage_report(abc_dir=str(tmp_path))
