@@ -690,12 +690,14 @@ def _divergence_section(probe_dir: str = "artifacts") -> list:
             "hint_16_0_big (the 519-wide depth-0 stack) leaves warmup "
             "already hot — gnorm ≈ 1e4, per-sample |logdet| ≈ 370 nats vs "
             "~1e2 / ~150 for converging peers — and the first full-LR step "
-            "blows it up (|z| jumps 15 orders of magnitude); it re-blows "
-            "on repeat and never trains, on every seed. hint_16_1 leaves "
+            "blows it up (|z| jumps 15 orders of magnitude), re-blowing "
+            "repeatedly through the probe's horizon. hint_16_1 leaves "
             "warmup healthy (gnorm ~4e2) but single full-LR steps still "
             "spike transiently (|z| → 1e12 for one batch, then immediate "
-            "recovery); the campaign loss for seed 1 was an unlucky "
-            "terminal landing of the same spike. In both, the elementwise "
+            "recovery). Whether a campaign run records NaN is then "
+            "seed-dependent — an unlucky spike landing terminally (e.g. "
+            "hint_16_0_big seed 0 diverged, seed 1 converged to −370.5 "
+            "under the identical schedule). In both, the elementwise "
             "±5 grad clamp preserves the blown-up direction instead of "
             "rescaling it. This is a property of the reference recipe at "
             "these widths/depths, not of the TPU port: trajectories are "

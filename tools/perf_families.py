@@ -62,6 +62,16 @@ VARIANTS = [
 ]
 
 
+def _init_device():
+    """Initialize params on host CPU when that backend exists (keeps HBM
+    clean for the timed buffers); under the axon plugin the TPU can be the
+    ONLY in-process backend, and init there is just as correct."""
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return jax.devices()[0]
+
+
 def _load():
     try:
         with open(OUT) as f:
@@ -79,7 +89,7 @@ def _save(out):
 def build(config: str, dtype: str):
     cfg = get_config(config)
     tr = cfg.make_trainer(compute_dtype=dtype)
-    with jax.default_device(jax.devices("cpu")[0]):
+    with jax.default_device(_init_device()):
         state = tr.init_state(jax.random.PRNGKey(0))
     state = jax.device_put(state, jax.devices()[0])
     b = cfg.batch_size
@@ -159,7 +169,7 @@ def run_compile32(out):
         for mode, scan in (("scanned", True), ("unrolled", False)):
             cfg = dataclasses.replace(get_config(config), batch_size=1000)
             tr = cfg.make_trainer(scan_blocks=scan)
-            with jax.default_device(jax.devices("cpu")[0]):
+            with jax.default_device(_init_device()):
                 state = tr.init_state(jax.random.PRNGKey(0))
             state = jax.device_put(state, jax.devices()[0])
             x = jax.device_put(
