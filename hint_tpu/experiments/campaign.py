@@ -576,8 +576,11 @@ def stage_figures(
         print(f"figures: conditional corr GT -> {f_corr}", flush=True)
     for (family, kind), configs in MODEL_SETS.items():
         for config in configs:
-            if not os.path.exists(_ckpt_path(config, seed)):
-                print(f"figures: no seed-{seed} checkpoint for {config}, skipped",
+            # a train_log record is enough: _load_state replays the run to
+            # regenerate a cleaned-up checkpoint (deterministic, minutes)
+            if not (os.path.exists(_ckpt_path(config, seed))
+                    or f"{config}|s{seed}|float32" in _read_log()):
+                print(f"figures: no seed-{seed} record for {config}, skipped",
                       flush=True)
                 continue
             cfg, trainer, state = _load_state(config, seed)
