@@ -185,6 +185,33 @@ def test_uci_stage_skips_cleanly_without_data(tmp_path, capsys):
     assert present == {"power": False, "gas": False, "miniboone": False}
 
 
+def test_divergence_section_from_probe_json(tmp_path):
+    """The report's divergence analysis reads instrumented-rerun probes and
+    pins the blowup to its step/LR; a clean probe reports 'none'."""
+    steps = [
+        {"epoch": 0, "batch": i, "lr": 3e-4, "loss": [1.0, -2.0],
+         "max_abs_logdet": 100.0, "max_abs_z": 3.0,
+         "grad_norm": 150.0, "grad_max": 4.0}
+        for i in range(5)
+    ]
+    blown = dict(steps[-1], epoch=3, batch=0, lr=7.6e-3, loss=[1e30, 5.0],
+                 grad_norm=float("inf"))
+    ok_after = dict(steps[-1], epoch=3, batch=1)
+    with open(tmp_path / "diverge_cfgA_s0.json", "w") as f:
+        json.dump({"config": "cfgA", "seed": 0, "batches_per_epoch": 5,
+                   "steps": steps + [blown, ok_after]}, f)
+    with open(tmp_path / "diverge_cfgB_s1.json", "w") as f:
+        json.dump({"config": "cfgB", "seed": 1, "batches_per_epoch": 5,
+                   "steps": steps}, f)
+    lines = campaign._divergence_section(probe_dir=str(tmp_path))
+    text = "\n".join(lines)
+    assert "| cfgA s0 | e3 b0 (step 5) | 7.60e-03 | 1.5e+02 | 100 | yes, then re-blows |" in text
+    assert "| cfgB s1 | none in 5 steps" in text
+    assert "Mechanism" in text
+    # no probes -> no section
+    assert campaign._divergence_section(probe_dir=str(tmp_path / "empty")) == []
+
+
 def test_score_shapes_all_nonfinite_returns_nan():
     """A fully-diverged model (all curves non-finite) must score as NaN,
     not crash the sweep (regression for the empty np.stack)."""
