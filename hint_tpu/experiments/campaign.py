@@ -183,6 +183,12 @@ def stage_train(
     os.makedirs(CAMPAIGN_DIR, exist_ok=True)
     t_stage = time.time()
     for config in configs or family_configs(family):
+        log = _read_log()
+        if all(
+            f"{config}|s{s}|{dtype}" in log or os.path.exists(_ckpt_path(config, s, dtype))
+            for s in seeds
+        ):
+            continue  # nothing to do — don't pay the 400 MB dataset load
         cfg = get_config(config)
         (x_tr, y_tr), (x_te, y_te) = cfg.load_data(cache_dir)
         x_tr, x_te = jnp.asarray(x_tr), jnp.asarray(x_te)
@@ -377,6 +383,11 @@ def stage_shapes(
             out = json.load(f)
     except Exception:
         out = {}
+    if all(
+        f"{config}|s{seed}" in out
+        for config in (configs or family_configs(family)) for seed in seeds
+    ):
+        return  # fully scored — skip the GT-correlation dataset load
     dm = _data_model(family)
     fam_key = "lens" if family == "lens" else "plus"
     # GT correlation from the cached training set (the reference caches the
