@@ -1,0 +1,275 @@
+"""TPU-batched lens-shape prior sweep.
+
+The ABC ground-truth protocol needs 1e8 (x, y) prior draws
+(/root/reference/rejection_sampling.py:76). The host engines
+(``data/fourier.py`` numpy, ``native/geometry.cc`` C++) generate one
+sample at a time — ~86 minutes for the lens pool on a 1-core host, which
+exceeds a session's wall clock every time the gitignored ``abc/`` bulk
+data is wiped by a reboot. This module re-derives the whole lens pipeline
+as a batched JAX program so the pool regenerates on-chip in minutes:
+
+* the two circle polygons are the same 64-gons ``geometry.circle_polygon``
+  builds (shapely ``buffer`` convention, /root/reference/data.py:85-100);
+* the lens ring is the **same Sutherland–Hodgman clip** as
+  ``geometry.convex_intersection``, transliterated to fixed-shape masked
+  form: the ring lives in a padded (P, 2) buffer with the ``k`` valid
+  vertices contiguous at the front, and each clip-edge pass emits
+  (intersection, vertex) candidates in the reference's interleaved slot
+  order, compacted by one argsort over unique integer order keys — the
+  output ring matches the numpy ring **vertex-for-vertex in order**
+  (order matters: the DFT start phase depends on it);
+* the closed-ring DFT (duplicate first point, per-sample ring length n —
+  data.py:42-49,98) is a masked sum;
+* the forward process (y = vector between the two most distant of 100
+  traced curve points + noise, data.py:127-139) runs as a batched d²
+  max with the upper-triangle row-major first-max convention; rows whose
+  top-two distances are closer than f32 error are re-done on the host in
+  f64 — the same two-pass screen/refine scheme ``fourier.py`` uses, so
+  tie-breaks match the reference's ``scipy.pdist`` semantics exactly.
+
+Parity is **distributional, not bit-level**: the host engines consume a
+numpy MT19937 stream draw-by-draw, which a JAX threefry program cannot
+reproduce. Chunk seeding is still deterministic (PRNGKey per chunk), so a
+TPU-built pool resumes/extends bit-identically against itself. Geometry
+is f32 on-chip (vs f64 on host): vertex coordinates agree to ~1e-5,
+which tests pin down, and degenerate near-tangency flips have measure
+zero at lens geometry (the circles always overlap by 0.2·(r0+r1)).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+N_CIRCLE = 64  # 4 * resolution(16): geometry.circle_polygon default
+P = 128  # ring capacity; convex∩convex of two 64-gons has ≤ 128 vertices
+N_COEFFS = 5  # 5 complex 2-D Fourier coefficients -> x in R^20
+N_TRACE = 100  # trace_fourier_curves default (data.py:51-57)
+_BIG = np.int32(2 ** 30)  # order key for non-emitted slots
+
+
+def _circle(center, r):
+    """(B, 64, 2) CCW circle polygon on the fixed angular grid
+    (geometry.circle_polygon: linspace(0, 2π, 64, endpoint=False))."""
+    theta = jnp.linspace(0.0, 2.0 * jnp.pi, N_CIRCLE, endpoint=False)
+    unit = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=1)  # (64, 2)
+    return center[:, None, :] + r[:, None, None] * unit[None]
+
+
+def _clip_edge(carry, edge):
+    """One Sutherland–Hodgman pass over a batch of padded rings.
+
+    Transliterates geometry.convex_intersection's inner loop: slot j emits
+    its crossing intersection at order 2j and its inside vertex at 2j+1;
+    a stable sort over those (unique) keys is the reference's
+    ``argsort(order, kind="stable")`` compaction.
+    """
+    pts, valid, k = carry  # (B,P,2) f32, (B,P) bool, (B,) int32
+    a, b = edge  # (B,2) each: clip-edge endpoints
+    ex, ey = b[:, 0] - a[:, 0], b[:, 1] - a[:, 1]
+    side = ex[:, None] * (pts[..., 1] - a[:, None, 1]) - ey[:, None] * (
+        pts[..., 0] - a[:, None, 0]
+    )
+    inside = (side >= 0) & valid
+    idx = jnp.arange(P, dtype=jnp.int32)
+    kk = jnp.maximum(k, 1)
+    prev_idx = jnp.where(idx[None] == 0, kk[:, None] - 1, idx[None] - 1)
+    prev = jnp.take_along_axis(pts, prev_idx[..., None], axis=1)
+    prev_in = jnp.take_along_axis(inside, prev_idx, axis=1)
+    crossing = (inside != prev_in) & valid
+    d = pts - prev
+    denom = ex[:, None] * d[..., 1] - ey[:, None] * d[..., 0]
+    num = ex[:, None] * (a[:, None, 1] - prev[..., 1]) - ey[:, None] * (
+        a[:, None, 0] - prev[..., 0]
+    )
+    t = num / jnp.where(crossing, denom, 1.0)
+    inter = prev + t[..., None] * d
+    # interleaved emission: slot j -> candidate 2j (intersection), 2j+1 (vertex)
+    key_i = jnp.where(crossing, 2 * idx[None], _BIG)
+    key_v = jnp.where(inside, 2 * idx[None] + 1, _BIG)
+    keys = jnp.stack([key_i, key_v], axis=2).reshape(keys_shape(pts))  # (B,2P)
+    cand = jnp.stack([inter, pts], axis=2).reshape(pts.shape[0], 2 * P, 2)
+    order = jnp.argsort(keys, axis=1)[:, :P]
+    new_keys = jnp.take_along_axis(keys, order, axis=1)
+    new_pts = jnp.take_along_axis(cand, order[..., None], axis=1)
+    new_valid = new_keys < _BIG
+    new_pts = jnp.where(new_valid[..., None], new_pts, 0.0)
+    new_k = jnp.sum(new_valid, axis=1, dtype=jnp.int32)
+    return (new_pts, new_valid, new_k), None
+
+
+def keys_shape(pts):
+    return (pts.shape[0], 2 * P)
+
+
+def _lens_rings(r0, theta):
+    """Padded lens rings for a batch of (r0, θ) draws.
+
+    Mirrors fourier.LensShapeModel.generate_lens_shape (data.py:85-100):
+    circle0 at the origin with radius r0, circle1 at distance
+    0.8·(r0+r1) along (sinθ, cosθ) with radius r1 = 2·r0, ring =
+    circle0 ∩ circle1. Returns (pts (B,P,2), valid (B,P), k (B,)).
+    """
+    B = r0.shape[0]
+    r1 = 2.0 * r0
+    dd = 0.8 * (r0 + r1)
+    c1_center = jnp.stack([dd * jnp.sin(theta), dd * jnp.cos(theta)], axis=1)
+    subject = _circle(jnp.zeros((B, 2), jnp.float32), r0)  # (B,64,2)
+    clip = _circle(c1_center, r1)  # (B,64,2)
+    pts = jnp.concatenate(
+        [subject, jnp.zeros((B, P - N_CIRCLE, 2), jnp.float32)], axis=1
+    )
+    valid = jnp.concatenate(
+        [jnp.ones((B, N_CIRCLE), bool), jnp.zeros((B, P - N_CIRCLE), bool)], axis=1
+    )
+    k = jnp.full((B,), N_CIRCLE, jnp.int32)
+    edges = (
+        jnp.moveaxis(clip, 1, 0),  # a_i: (64, B, 2)
+        jnp.moveaxis(jnp.roll(clip, -1, axis=1), 1, 0),  # b_i
+    )
+    (pts, valid, k), _ = jax.lax.scan(_clip_edge, (pts, valid, k), edges)
+    return pts, valid, k
+
+
+def _ring_to_x(pts, valid, k, shift_noise):
+    """Close the ring, center it with noise, DFT to flattened coefficients.
+
+    data.py:96-100 + fourier_coeffs (data.py:42-49): coords = ring +
+    closing duplicate (n = k+1 points), coords -= mean(coords) + 0.5·ε,
+    coeffs_m = (1/n) Σ_j coords_j e^{-2πi m j / n}, m = -2..2; flattened
+    as [Re(2×5) | Im(2×5)] (flatten_coeffs, data.py:30-35).
+    """
+    B = pts.shape[0]
+    n = (k + 1).astype(jnp.float32)  # closed-ring length
+    vf = valid.astype(jnp.float32)
+    first = pts[:, 0, :]  # closing duplicate = ring[0]
+    mean = (jnp.sum(pts * vf[..., None], axis=1) + first) / n[:, None]
+    offset = mean + 0.5 * shift_noise  # (B,2)
+    j = jnp.arange(P, dtype=jnp.float32)
+    ms = jnp.arange(-(N_COEFFS // 2), N_COEFFS // 2 + 1, dtype=jnp.float32)
+    # open slots j = 0..k-1 plus the duplicate term at j = k
+    ang = -2.0 * jnp.pi * ms[None, :, None] * j[None, None, :] / n[:, None, None]
+    cos, sin = jnp.cos(ang), jnp.sin(ang)  # (B,5,P)
+    p = (pts - offset[:, None, :]) * vf[..., None]  # (B,P,2) masked, centered
+    # Σ_j p_j e^{iang_j} per coordinate row (real/imag separately)
+    real = jnp.einsum("bmp,bpd->bdm", cos, p)
+    imag = jnp.einsum("bmp,bpd->bdm", sin, p)
+    ang_k = -2.0 * jnp.pi * ms[None, :] * k[:, None].astype(jnp.float32) / n[:, None]
+    p0 = first - offset  # duplicate point, centered
+    real = real + jnp.cos(ang_k)[:, None, :] * p0[:, :, None]
+    imag = imag + jnp.sin(ang_k)[:, None, :] * p0[:, :, None]
+    real = real / n[:, None, None]
+    imag = imag / n[:, None, None]
+    return jnp.concatenate([real.reshape(B, -1), imag.reshape(B, -1)], axis=1)
+
+
+def _trace(x):
+    """trace_fourier_curves (data.py:51-57) from flattened coefficients:
+    points(t) = Re( Σ_m c_m e^{2πi m t} ), t = linspace(0, 1, 100)."""
+    B = x.shape[0]
+    real = x[:, : 2 * N_COEFFS].reshape(B, 2, N_COEFFS)
+    imag = x[:, 2 * N_COEFFS :].reshape(B, 2, N_COEFFS)
+    t = jnp.linspace(0.0, 1.0, N_TRACE)
+    ms = jnp.arange(-(N_COEFFS // 2), N_COEFFS // 2 + 1, dtype=jnp.float32)
+    ang = 2.0 * jnp.pi * t[:, None] * ms[None, :]  # (100,5)
+    basis_c, basis_s = jnp.cos(ang), jnp.sin(ang)
+    # Re((cr + i·ci)(cos + i·sin)) = cr·cos − ci·sin
+    pts = jnp.einsum("bdm,tm->btd", real, basis_c) - jnp.einsum(
+        "bdm,tm->btd", imag, basis_s
+    )
+    return pts  # (B,100,2)
+
+
+def _forward_screen(x):
+    """f32 device pass of the forward process: argmax of pairwise d² over
+    the upper triangle (row-major first-max — the reference convention,
+    fourier.py forward_process), plus an ambiguity flag for rows whose
+    top-two d² are within f32 error and need the host f64 tie-break."""
+    pts = _trace(x)
+    d0 = pts[:, :, None, 0] - pts[:, None, :, 0]
+    d1 = pts[:, :, None, 1] - pts[:, None, :, 1]
+    d2 = d0 * d0 + d1 * d1
+    triu = jnp.triu(jnp.ones((N_TRACE, N_TRACE), bool), 1)
+    d2 = jnp.where(triu[None], d2, -jnp.inf)
+    flat = d2.reshape(x.shape[0], -1)
+    flat_idx = jnp.argmax(flat, axis=1)
+    top = jnp.take_along_axis(flat, flat_idx[:, None], axis=1)[:, 0]
+    flat = flat.at[jnp.arange(x.shape[0]), flat_idx].set(-jnp.inf)
+    second = jnp.max(flat, axis=1)
+    ambiguous = (top - second) <= 1e-4 * top
+    i0, i1 = flat_idx // N_TRACE, flat_idx % N_TRACE
+    p0 = jnp.take_along_axis(pts, i0[:, None, None], axis=1)[:, 0]
+    p1 = jnp.take_along_axis(pts, i1[:, None, None], axis=1)[:, 0]
+    delta = p1 - p0
+    # y = (Δy, Δx): the reference stores (delta[1], delta[0]) (data.py:137)
+    feats = jnp.stack([delta[:, 1], delta[:, 0]], axis=1)
+    return feats, ambiguous
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _chunk_kernel(key, B):
+    """One device chunk: priors + f32 forward screen. Returns
+    (x (B,20), feats (B,2) pre-noise, ambiguous (B,), y_noise (B,2))."""
+    k_r, k_t, k_shift, k_noise = jax.random.split(key, 4)
+    r0 = 1.0 + jax.random.uniform(k_r, (B,), jnp.float32)
+    theta = 2.0 * jnp.pi * jax.random.uniform(k_t, (B,), jnp.float32)
+    shift = jax.random.normal(k_shift, (B, 2), jnp.float32)
+    pts, valid, k = _lens_rings(r0, theta)
+    x = _ring_to_x(pts, valid, k, shift)
+    feats, ambiguous = _forward_screen(x)
+    y_noise = 0.05 * jax.random.normal(k_noise, (B, 2), jnp.float32)
+    return x, feats, ambiguous, y_noise
+
+
+def _refine_host(x_rows: np.ndarray) -> np.ndarray:
+    """Host f64 tie-break for ambiguous rows — byte-identical to the
+    reference path (fourier.py forward_process refinement): complex128
+    trace, f64 distances, row-major first-max."""
+    from hint_tpu.data.fourier import LensShapeModel
+
+    model = LensShapeModel()
+    pts = model.trace_fourier_curves(model.unflatten_coeffs(x_rows))
+    out = np.empty((len(x_rows), 2), np.float64)
+    for r in range(len(x_rows)):
+        q = pts[r].astype(np.float64)
+        dq = np.sqrt(
+            (q[:, None, 0] - q[None, :, 0]) ** 2 + (q[:, None, 1] - q[None, :, 1]) ** 2
+        )
+        i0, i1 = np.unravel_index(dq.argmax(), (N_TRACE, N_TRACE))
+        delta = q[i1] - q[i0]
+        out[r] = delta[1], delta[0]
+    return out
+
+
+def sample_joint(
+    n: int, seed: int = 0, sub_batch: int = 8192, noise: bool = True
+) -> tuple[np.ndarray, np.ndarray]:
+    """Draw n lens-shape (x, y) prior pairs on the accelerator.
+
+    Deterministic in (n, seed, sub_batch): chunk i uses
+    fold_in(PRNGKey(seed), i). Drop-in pool engine for
+    ``evaluation.abc.prepare_samples(engine="tpu")``.
+    """
+    xs, ys = [], []
+    remaining = n
+    i = 0
+    base = jax.random.PRNGKey(seed)
+    while remaining > 0:
+        key = jax.random.fold_in(base, i)
+        x, feats, amb, y_noise = _chunk_kernel(key, sub_batch)
+        x = np.asarray(x)
+        feats = np.asarray(feats, np.float64)
+        amb = np.asarray(amb)
+        if amb.any():
+            feats[amb] = _refine_host(x[amb])
+        y = feats + (np.asarray(y_noise, np.float64) if noise else 0.0)
+        take = min(sub_batch, remaining)
+        xs.append(x[:take])
+        ys.append(y[:take].astype(np.float32))
+        remaining -= take
+        i += 1
+    return np.concatenate(xs), np.concatenate(ys)

@@ -42,6 +42,17 @@ ABC_SEED_OFFSET = 0x5EED0000
 def _sample_chunk(args):
     model_factory, n, seed, engine = args
     model = model_factory()
+    if engine == "tpu":
+        # batched accelerator sweep (lens only): minutes instead of hours
+        # at pool scale; runs in-process (no fork — JAX state isn't
+        # fork-safe), chunk-deterministic in its PRNGKey seed
+        from hint_tpu.data import lens_tpu
+
+        if model.name != "lens-shape1":
+            raise NotImplementedError(
+                f"engine='tpu' supports the lens family only, got {model.name}"
+            )
+        return lens_tpu.sample_joint(n, seed=seed)
     if engine in ("auto", "native"):
         try:
             from hint_tpu.data import native
@@ -137,6 +148,26 @@ def prepare_samples(
         with open(prog_path, "w") as f:
             f.write(f"{n_total} {chunk} {seed}\n")
     todo = [i for i in range(n_chunks) if i not in done]
+    if todo and engine == "tpu":
+        # in-process serial loop: the device is the parallelism
+        with open(prog_path, "a") as prog:
+            for j, i in enumerate(todo):
+                xc, yc = _sample_chunk(
+                    (model_factory, chunk, ABC_SEED_OFFSET + seed + i, engine)
+                )
+                xs[i * chunk : (i + 1) * chunk] = xc[:chunk]
+                ys[i * chunk : (i + 1) * chunk] = yc[:chunk]
+                prog.write(f"{i}\n")
+                if (j + 1) % max(1, len(todo) // 100) == 0:
+                    prog.flush()
+                    rate = (j + 1) * chunk / max(time.time() - t0, 1e-9)
+                    print(
+                        f"prepare_samples[{model.name}/tpu]: {j + 1}/{len(todo)} "
+                        f"chunks ({rate:,.0f} rows/s, "
+                        f"ETA {(len(todo) - j - 1) * chunk / rate / 60:.1f} min)",
+                        flush=True,
+                    )
+        todo = []
     if todo:
         args = [(model_factory, chunk, ABC_SEED_OFFSET + seed + i, engine) for i in todo]
         # fork, deliberately: spawn re-imports __main__ (hangs REPL/stdin
