@@ -228,21 +228,23 @@ def _chunk_kernel(key, B):
 def _refine_host(x_rows: np.ndarray) -> np.ndarray:
     """Host f64 tie-break for ambiguous rows — byte-identical to the
     reference path (fourier.py forward_process refinement): complex128
-    trace, f64 distances, row-major first-max."""
+    trace, f64 distances, row-major first-max. Batched over rows (the
+    sweep flags ~4% of samples; a per-row loop would throttle the
+    device pipeline)."""
     from hint_tpu.data.fourier import LensShapeModel
 
     model = LensShapeModel()
     pts = model.trace_fourier_curves(model.unflatten_coeffs(x_rows))
-    out = np.empty((len(x_rows), 2), np.float64)
-    for r in range(len(x_rows)):
-        q = pts[r].astype(np.float64)
-        dq = np.sqrt(
-            (q[:, None, 0] - q[None, :, 0]) ** 2 + (q[:, None, 1] - q[None, :, 1]) ** 2
-        )
-        i0, i1 = np.unravel_index(dq.argmax(), (N_TRACE, N_TRACE))
-        delta = q[i1] - q[i0]
-        out[r] = delta[1], delta[0]
-    return out
+    q = pts.astype(np.float64)  # (R,100,2)
+    dq = np.sqrt(
+        (q[:, :, None, 0] - q[:, None, :, 0]) ** 2
+        + (q[:, :, None, 1] - q[:, None, :, 1]) ** 2
+    )
+    flat_idx = dq.reshape(len(q), -1).argmax(axis=1)
+    i0, i1 = np.unravel_index(flat_idx, (N_TRACE, N_TRACE))
+    rows = np.arange(len(q))
+    delta = q[rows, i1] - q[rows, i0]
+    return delta[:, ::-1].copy()  # (Δy, Δx)
 
 
 def sample_joint(
