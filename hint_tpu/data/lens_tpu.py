@@ -6,27 +6,42 @@ The ABC ground-truth protocol needs 1e8 (x, y) prior draws
 sample at a time — ~86 minutes for the lens pool on a 1-core host, which
 exceeds a session's wall clock every time the gitignored ``abc/`` bulk
 data is wiped by a reboot. This module re-derives the whole lens pipeline
-as a batched JAX program so the pool regenerates on-chip in minutes:
+as a batched JAX program so the pool regenerates on-chip fast:
 
 * the two circle polygons are the same 64-gons ``geometry.circle_polygon``
   builds (shapely ``buffer`` convention, /root/reference/data.py:85-100);
-* the lens ring is the **same Sutherland–Hodgman clip** as
-  ``geometry.convex_intersection``, transliterated to fixed-shape masked
-  form: the ring lives in a padded (P, 2) buffer with the ``k`` valid
-  vertices contiguous at the front, and each clip-edge pass emits
-  (intersection, vertex) candidates in the reference's interleaved slot
-  order, compacted by an exact one-hot matmul over emit ranks (the MXU
-  form of the reference's stable argsort) — the output ring matches the
-  numpy ring **vertex-for-vertex in order** (order matters: the DFT
-  start phase depends on it);
+* the lens ring reproduces the **same Sutherland–Hodgman clip** as
+  ``geometry.convex_intersection`` — but instead of a general stream
+  compaction per clip edge (the round-4 one-hot-matmul engine moved a
+  (B, P, 2P) tensor per edge and sustained only ~5k rows/s end to end),
+  each pass exploits convexity: the ring is convex at every stage, so its
+  vertices inside a clip half-plane form ONE contiguous cyclic run and the
+  pass output has a closed form —
+      no wrap:  [I_enter, v_s .. v_{x-1}, I_exit]
+      wrap:     [v_0 .. v_{x-1}, I_exit, I_enter, v_s .. v_{k-1}]
+  (s = entering-crossing slot, x = exiting slot), which is exactly the
+  host's stable-argsort interleave order (geometry.py:82-86). The pass is
+  then ONE per-row cyclic roll, done as log2(P) static-slice steps
+  (`_dyn_roll`) — no gather, no sort, no scatter ever touches the device.
+  Rows whose f32 inside-mask is NOT a single run (>2 crossings — a
+  near-collinear roundoff flip; measured ~0 at lens geometry) are marked
+  dead (k = 0) and regenerated on the host from the same (r0, θ, shift)
+  draws;
+* layout is TPU-native: coordinates are SPLIT into separate (B, P) x and
+  y planes with P = 128 = the lane width. The natural (B, P, 2) layout
+  puts 2 on the lane dimension — 2/128 lane utilization — and measured
+  ~30x slower end to end;
 * the closed-ring DFT (duplicate first point, per-sample ring length n —
-  data.py:42-49,98) is a masked sum;
+  data.py:42-49,98) is a masked sum over harmonics built by double-angle
+  recurrence from one (B, P) trig pair;
 * the forward process (y = vector between the two most distant of 100
   traced curve points + noise, data.py:127-139) runs as a batched d²
-  max with the upper-triangle row-major first-max convention; rows whose
-  top-two distances are closer than f32 error are re-done on the host in
-  f64 — the same two-pass screen/refine scheme ``fourier.py`` uses, so
-  tie-breaks match the reference's ``scipy.pdist`` semantics exactly.
+  top-2 with the upper-triangle row-major first-max convention. Rows
+  whose top-two d² are closer than f32 cross-engine error go to the host
+  f64 full-matrix refine (`_refine_host`); rows whose winning pair
+  touches the curve seam (i0 == 0) only need the twin-orientation
+  decision d(0,i1) vs d(i1,99) in f64 (`_seam_host`) — ~100x cheaper
+  than the full matrix, and it is ~2% of rows vs ~0.2% for the band.
 
 Parity is **distributional, not bit-level**: the host engines consume a
 numpy MT19937 stream draw-by-draw, which a JAX threefry program cannot
@@ -48,209 +63,321 @@ import jax.numpy as jnp
 
 N_CIRCLE = 64  # 4 * resolution(16): geometry.circle_polygon default
 P = 128  # ring capacity; convex∩convex of two 64-gons has ≤ 128 vertices
+LOG2P = 7
 N_COEFFS = 5  # 5 complex 2-D Fourier coefficients -> x in R^20
 N_TRACE = 100  # trace_fourier_curves default (data.py:51-57)
 
 
-def _circle(center, r):
-    """(B, 64, 2) CCW circle polygon on the fixed angular grid
-    (geometry.circle_polygon: linspace(0, 2π, 64, endpoint=False))."""
-    theta = jnp.linspace(0.0, 2.0 * jnp.pi, N_CIRCLE, endpoint=False)
-    unit = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=1)  # (64, 2)
-    return center[:, None, :] + r[:, None, None] * unit[None]
+def _dyn_roll(arr, r):
+    """Per-row cyclic left-roll: out[b, m] = arr[b, (m + r[b]) % P].
+
+    Binary decomposition of the roll amount into log2(P) conditional
+    static rolls — each step is a slice+concat plus a masked select, all
+    dense vector ops. This replaces a per-row gather, which XLA lowers to
+    a serialized loop on TPU (measured ~50x slower at this shape).
+    """
+    for b in range(LOG2P):
+        sh = 1 << b
+        rolled = jnp.concatenate([arr[:, sh:], arr[:, :sh]], axis=1)
+        arr = jnp.where((((r >> b) & 1) == 1)[:, None], rolled, arr)
+    return arr
 
 
 def _clip_edge(carry, edge):
-    """One Sutherland–Hodgman pass over a batch of padded rings.
+    """One Sutherland–Hodgman pass over a batch of contiguous rings.
 
-    Transliterates geometry.convex_intersection's inner loop: slot j emits
-    its crossing intersection at order 2j and its inside vertex at 2j+1;
-    a stable sort over those (unique) keys is the reference's
-    ``argsort(order, kind="stable")`` compaction.
+    Matches geometry.convex_intersection's per-edge output vertex-for-
+    vertex: slot j emits its crossing intersection at order 2j and its
+    inside vertex at 2j+1, compacted stably (geometry.py:82-86). Because
+    the ring is convex, `inside` is one contiguous cyclic run, so the
+    compacted output is a single per-row cyclic roll of the input ring
+    with the two crossing intersections patched in at closed-form slots.
     """
-    pts, valid, k = carry  # (B,P,2) f32, (B,P) bool, (B,) int32
-    a, b = edge  # (B,2) each: clip-edge endpoints
-    ex, ey = b[:, 0] - a[:, 0], b[:, 1] - a[:, 1]
-    side = ex[:, None] * (pts[..., 1] - a[:, None, 1]) - ey[:, None] * (
-        pts[..., 0] - a[:, None, 0]
-    )
-    inside = (side >= 0) & valid
+    px, py, k = carry  # (B,P) f32 x2, (B,) int32; valid slots are 0..k-1
+    ax, ay, bx, by = edge  # (B,) each: clip-edge endpoints
     idx = jnp.arange(P, dtype=jnp.int32)
-    kk = jnp.maximum(k, 1)
-    prev_idx = jnp.where(idx[None] == 0, kk[:, None] - 1, idx[None] - 1)
-    prev = jnp.take_along_axis(pts, prev_idx[..., None], axis=1)
-    prev_in = jnp.take_along_axis(inside, prev_idx, axis=1)
-    crossing = (inside != prev_in) & valid
-    d = pts - prev
-    denom = ex[:, None] * d[..., 1] - ey[:, None] * d[..., 0]
-    num = ex[:, None] * (a[:, None, 1] - prev[..., 1]) - ey[:, None] * (
-        a[:, None, 0] - prev[..., 0]
-    )
-    t = num / jnp.where(crossing, denom, 1.0)
-    inter = prev + t[..., None] * d
-    # Interleaved emission: slot j emits candidate 2j (intersection) then
-    # 2j+1 (vertex). The reference compacts with a stable argsort over
-    # those order keys; because the keys are already ascending in the
-    # interleaved layout, the stable sort is exactly a stable partition of
-    # the emit mask — each emitted candidate lands at its emit-rank. The
-    # rank is a cumsum, and the permutation becomes an exact one-hot
-    # matmul (each output row sums exactly one candidate), which runs on
-    # the MXU instead of a 64×-repeated bitonic sort on the vector unit
-    # (the sort version measured ~25x slower end-to-end).
-    B = pts.shape[0]
-    emit = jnp.stack([crossing, inside], axis=2).reshape(B, 2 * P)
-    cand = jnp.stack([inter, pts], axis=2).reshape(B, 2 * P, 2)
-    rank = jnp.cumsum(emit, axis=1, dtype=jnp.int32)  # 1-based at emits
-    target = jnp.where(emit, rank, 0)  # (B,2P): output slot + 1, or 0
-    s_iota = jnp.arange(1, P + 1, dtype=jnp.int32)
-    onehot = (target[:, None, :] == s_iota[None, :, None]).astype(jnp.float32)
-    new_pts = jnp.einsum("bsj,bjd->bsd", onehot, cand)
-    new_k = rank[:, -1]
-    new_valid = jnp.arange(P, dtype=jnp.int32)[None] < new_k[:, None]
-    return (new_pts, new_valid, new_k), None
+    m = idx[None]  # (1,P), broadcasts over the batch
+    valid = m < k[:, None]
+    ex, ey = bx - ax, by - ay
+    side = ex[:, None] * (py - ay[:, None]) - ey[:, None] * (px - ax[:, None])
+    inside = (side >= 0) & valid
+    km1 = jnp.maximum(k - 1, 0)
+    # prev slot is j-1, wrapping slot 0 to slot k-1
+    last_in = jnp.any(inside & (m == km1[:, None]), axis=1, keepdims=True)
+    prev_in = jnp.concatenate([last_in, inside[:, :-1]], axis=1) & valid
+    cross = (inside != prev_in) & valid
+    c = jnp.sum(cross, axis=1)
+    n_in = jnp.sum(inside, axis=1)
+    # single-run boundaries: s enters (prev out, cur in), x exits
+    s = jnp.argmax(cross & inside, axis=1).astype(jnp.int32)
+    x = jnp.argmax(cross & ~inside, axis=1).astype(jnp.int32)
+
+    def pick(i):  # (B,) slot -> ((B,), (B,)) coords, via one-hot reduce
+        oh = m == i[:, None]
+        return (
+            jnp.sum(jnp.where(oh, px, 0.0), axis=1),
+            jnp.sum(jnp.where(oh, py, 0.0), axis=1),
+        )
+
+    def isect(p, v):  # crossing of segment p->v with the clip line
+        dx_, dy_ = v[0] - p[0], v[1] - p[1]
+        denom = ex * dy_ - ey * dx_
+        num = ex * (ay - p[1]) - ey * (ax - p[0])
+        t = num / jnp.where(denom == 0, 1.0, denom)
+        return p[0] + t * dx_, p[1] + t * dy_
+
+    enter_x, enter_y = isect(pick(jnp.where(s == 0, km1, s - 1)), pick(s))
+    exit_x, exit_y = isect(pick(jnp.where(x == 0, km1, x - 1)), pick(x))
+    wrap = s > x  # the inside run crosses the slot-0 seam
+    # no wrap: out[m] = pts[m + s - 1]   (slots 0 and n_in+1 patched)
+    # wrap:    out[m] = pts[m] for m < x, pts[m + s - x - 2] for m > x+1
+    r = jnp.where(wrap, s - x - 2, s - 1) & (P - 1)
+    rx, ry = _dyn_roll(px, r), _dyn_roll(py, r)
+    keep_ident = wrap[:, None] & (m < x[:, None])
+    out_x = jnp.where(keep_ident, px, rx)
+    out_y = jnp.where(keep_ident, py, ry)
+    is_enter = jnp.where(wrap[:, None], m == (x + 1)[:, None], m == 0)
+    is_exit = jnp.where(wrap[:, None], m == x[:, None], m == (n_in + 1)[:, None])
+    out_x = jnp.where(is_enter, enter_x[:, None], out_x)
+    out_y = jnp.where(is_enter, enter_y[:, None], out_y)
+    out_x = jnp.where(is_exit, exit_x[:, None], out_x)
+    out_y = jnp.where(is_exit, exit_y[:, None], out_y)
+    # c == 0 -> inside is constant over the cycle: all kept (identity pass,
+    # the host's `continue`) or all cut (degenerate). c > 2 -> the f32 mask
+    # is not a single run (host f64 would differ anyway): mark dead, the
+    # host regenerates the row from the same draws.
+    ident = (c == 0) & (n_in == k)
+    bad = (c > 2) | ((c == 0) & (n_in == 0))
+    new_k = jnp.where(ident, k, n_in + 2)
+    new_k = jnp.where(bad | (k == 0), 0, new_k)
+    live = m < new_k[:, None]
+    out_x = jnp.where(live, out_x, 0.0)
+    out_y = jnp.where(live, out_y, 0.0)
+    new_px = jnp.where(ident[:, None], px, out_x)
+    new_py = jnp.where(ident[:, None], py, out_y)
+    return (new_px, new_py, new_k), None
 
 
-def _lens_rings(r0, theta):
-    """Padded lens rings for a batch of (r0, θ) draws.
+def _lens_rings_xy(r0, theta):
+    """Split-coordinate lens rings for a batch of (r0, θ) draws.
 
     Mirrors fourier.LensShapeModel.generate_lens_shape (data.py:85-100):
     circle0 at the origin with radius r0, circle1 at distance
     0.8·(r0+r1) along (sinθ, cosθ) with radius r1 = 2·r0, ring =
-    circle0 ∩ circle1. Returns (pts (B,P,2), valid (B,P), k (B,)).
+    circle0 ∩ circle1. Returns (px, py (B,P), k (B,)); k == 0 marks rows
+    the f32 clip could not resolve (host regenerates).
     """
     B = r0.shape[0]
     r1 = 2.0 * r0
     dd = 0.8 * (r0 + r1)
-    c1_center = jnp.stack([dd * jnp.sin(theta), dd * jnp.cos(theta)], axis=1)
-    subject = _circle(jnp.zeros((B, 2), jnp.float32), r0)  # (B,64,2)
-    clip = _circle(c1_center, r1)  # (B,64,2)
-    pts = jnp.concatenate(
-        [subject, jnp.zeros((B, P - N_CIRCLE, 2), jnp.float32)], axis=1
-    )
-    valid = jnp.concatenate(
-        [jnp.ones((B, N_CIRCLE), bool), jnp.zeros((B, P - N_CIRCLE), bool)], axis=1
-    )
-    k = jnp.full((B,), N_CIRCLE, jnp.int32)
+    ccx, ccy = dd * jnp.sin(theta), dd * jnp.cos(theta)
+    ang = jnp.linspace(0.0, 2.0 * jnp.pi, N_CIRCLE, endpoint=False)
+    ux, uy = jnp.cos(ang), jnp.sin(ang)  # (64,)
+    pad = jnp.zeros((B, P - N_CIRCLE), jnp.float32)
+    px = jnp.concatenate([r0[:, None] * ux[None], pad], axis=1)
+    py = jnp.concatenate([r0[:, None] * uy[None], pad], axis=1)
+    gx = ccx[:, None] + r1[:, None] * ux[None]  # clip polygon (B,64)
+    gy = ccy[:, None] + r1[:, None] * uy[None]
     edges = (
-        jnp.moveaxis(clip, 1, 0),  # a_i: (64, B, 2)
-        jnp.moveaxis(jnp.roll(clip, -1, axis=1), 1, 0),  # b_i
-    )
-    (pts, valid, k), _ = jax.lax.scan(_clip_edge, (pts, valid, k), edges)
-    return pts, valid, k
+        gx.T,
+        gy.T,
+        jnp.roll(gx, -1, axis=1).T,
+        jnp.roll(gy, -1, axis=1).T,
+    )  # (64,B) each
+    k = jnp.full((B,), N_CIRCLE, jnp.int32)
+    (px, py, k), _ = jax.lax.scan(_clip_edge, (px, py, k), edges)
+    return px, py, k
 
 
-def _ring_to_x(pts, valid, k, shift_noise):
+def _lens_rings(r0, theta):
+    """(B,P,2)-stacked wrapper over `_lens_rings_xy` (test/parity surface)."""
+    px, py, k = _lens_rings_xy(r0, theta)
+    valid = jnp.arange(P, dtype=jnp.int32)[None] < k[:, None]
+    return jnp.stack([px, py], axis=-1), valid, k
+
+
+def _ring_to_x_xy(px, py, k, shift_noise):
     """Close the ring, center it with noise, DFT to flattened coefficients.
 
     data.py:96-100 + fourier_coeffs (data.py:42-49): coords = ring +
     closing duplicate (n = k+1 points), coords -= mean(coords) + 0.5·ε,
     coeffs_m = (1/n) Σ_j coords_j e^{-2πi m j / n}, m = -2..2; flattened
-    as [Re(2×5) | Im(2×5)] (flatten_coeffs, data.py:30-35).
+    as [Re(2×5) | Im(2×5)] (flatten_coeffs, data.py:30-35). Harmonics
+    come from one (B,P) trig pair via the double-angle identities (the
+    5 m-values are ±2, ±1, 0).
     """
-    B = pts.shape[0]
+    B = px.shape[0]
+    idx = jnp.arange(P, dtype=jnp.float32)
+    vf = (jnp.arange(P, dtype=jnp.int32)[None] < k[:, None]).astype(jnp.float32)
     n = (k + 1).astype(jnp.float32)  # closed-ring length
-    vf = valid.astype(jnp.float32)
-    first = pts[:, 0, :]  # closing duplicate = ring[0]
-    mean = (jnp.sum(pts * vf[..., None], axis=1) + first) / n[:, None]
-    offset = mean + 0.5 * shift_noise  # (B,2)
-    j = jnp.arange(P, dtype=jnp.float32)
-    ms = jnp.arange(-(N_COEFFS // 2), N_COEFFS // 2 + 1, dtype=jnp.float32)
-    # open slots j = 0..k-1 plus the duplicate term at j = k
-    ang = -2.0 * jnp.pi * ms[None, :, None] * j[None, None, :] / n[:, None, None]
-    cos, sin = jnp.cos(ang), jnp.sin(ang)  # (B,5,P)
-    p = (pts - offset[:, None, :]) * vf[..., None]  # (B,P,2) masked, centered
-    # Σ_j p_j e^{iang_j} per coordinate row (real/imag separately)
-    real = jnp.einsum("bmp,bpd->bdm", cos, p)
-    imag = jnp.einsum("bmp,bpd->bdm", sin, p)
-    ang_k = -2.0 * jnp.pi * ms[None, :] * k[:, None].astype(jnp.float32) / n[:, None]
-    p0 = first - offset  # duplicate point, centered
-    real = real + jnp.cos(ang_k)[:, None, :] * p0[:, :, None]
-    imag = imag + jnp.sin(ang_k)[:, None, :] * p0[:, :, None]
-    real = real / n[:, None, None]
-    imag = imag / n[:, None, None]
-    return jnp.concatenate([real.reshape(B, -1), imag.reshape(B, -1)], axis=1)
+    fx, fy = px[:, 0], py[:, 0]  # closing duplicate = ring[0]
+    ox = (jnp.sum(px * vf, axis=1) + fx) / n + 0.5 * shift_noise[:, 0]
+    oy = (jnp.sum(py * vf, axis=1) + fy) / n + 0.5 * shift_noise[:, 1]
+    cx_ = (px - ox[:, None]) * vf  # (B,P) masked, centered
+    cy_ = (py - oy[:, None]) * vf
+    beta = -2.0 * jnp.pi * idx[None] / n[:, None]  # (B,P): m=1 angles
+    c1, s1 = jnp.cos(beta), jnp.sin(beta)
+    c2, s2 = c1 * c1 - s1 * s1, 2.0 * s1 * c1
+    zero = jnp.zeros_like(c1)
+    cms = (c2, c1, jnp.ones_like(c1), c1, c2)  # cos(mβ), m = -2..2
+    sms = (-s2, -s1, zero, s1, s2)  # sin(mβ)
+    # duplicate-point term at j = k
+    bk = -2.0 * jnp.pi * k.astype(jnp.float32) / n
+    ck1, sk1 = jnp.cos(bk), jnp.sin(bk)
+    ck2, sk2 = ck1 * ck1 - sk1 * sk1, 2.0 * sk1 * ck1
+    zk = jnp.zeros_like(ck1)
+    cks = (ck2, ck1, jnp.ones_like(ck1), ck1, ck2)
+    sks = (-sk2, -sk1, zk, sk1, sk2)
+    p0x, p0y = fx - ox, fy - oy
+    reals, imags = [], []
+    for p, p0 in ((cx_, p0x), (cy_, p0y)):
+        for mi in range(5):
+            reals.append((jnp.sum(p * cms[mi], axis=1) + cks[mi] * p0) / n)
+            imags.append((jnp.sum(p * sms[mi], axis=1) + sks[mi] * p0) / n)
+    return jnp.stack(reals + imags, axis=1)  # (B,20)
 
 
-def _trace(x):
+def _ring_to_x(pts, valid, k, shift_noise):
+    """(B,P,2)-input wrapper over `_ring_to_x_xy` (test/parity surface)."""
+    del valid  # derived from k
+    return _ring_to_x_xy(pts[..., 0], pts[..., 1], k, shift_noise)
+
+
+def _trace_xy(x):
     """trace_fourier_curves (data.py:51-57) from flattened coefficients:
-    points(t) = Re( Σ_m c_m e^{2πi m t} ), t = linspace(0, 1, 100)."""
+    points(t) = Re( Σ_m c_m e^{2πi m t} ), t = linspace(0, 1, 100).
+    Returns split (tx, ty), each (B, 100)."""
     B = x.shape[0]
     real = x[:, : 2 * N_COEFFS].reshape(B, 2, N_COEFFS)
     imag = x[:, 2 * N_COEFFS :].reshape(B, 2, N_COEFFS)
     t = jnp.linspace(0.0, 1.0, N_TRACE)
     ms = jnp.arange(-(N_COEFFS // 2), N_COEFFS // 2 + 1, dtype=jnp.float32)
-    ang = 2.0 * jnp.pi * t[:, None] * ms[None, :]  # (100,5)
-    basis_c, basis_s = jnp.cos(ang), jnp.sin(ang)
+    ang = 2.0 * jnp.pi * t[:, None] * ms[None, :]  # (100,5), constant-folded
+    bc, bs = jnp.cos(ang), jnp.sin(ang)
     # Re((cr + i·ci)(cos + i·sin)) = cr·cos − ci·sin
-    pts = jnp.einsum("bdm,tm->btd", real, basis_c) - jnp.einsum(
-        "bdm,tm->btd", imag, basis_s
-    )
-    return pts  # (B,100,2)
+    tx = real[:, 0] @ bc.T - imag[:, 0] @ bs.T  # (B,100)
+    ty = real[:, 1] @ bc.T - imag[:, 1] @ bs.T
+    return tx, ty
 
 
 def _forward_screen(x):
-    """f32 device pass of the forward process: argmax of pairwise d² over
+    """f32 device pass of the forward process: top-2 of pairwise d² over
     the upper triangle (row-major first-max — the reference convention,
-    fourier.py forward_process), plus an ambiguity flag for rows whose
-    top-two d² are within f32 error and need the host f64 tie-break."""
-    pts = _trace(x)
-    d0 = pts[:, :, None, 0] - pts[:, None, :, 0]
-    d1 = pts[:, :, None, 1] - pts[:, None, :, 1]
+    fourier.py forward_process). Returns (feats, band, seam, i1):
+
+    * ``band`` — the top-two d² gap is within f32 cross-engine error; the
+      host f64 full-matrix refine (`_refine_host`) decides the row.
+    * ``seam`` — the winning pair is (0, i1), whose twin (i1, 99) may win
+      the reference's f64 full-matrix argmax instead (the duplicated
+      endpoint t=1 retraces t=0 to ~1e-15; squareform(pdist) computes
+      d(0,i1) and d(i1,99) as separate f64 values differing at the last
+      ulp, and data.py:131-133 picks whichever is strictly larger —
+      measured ~0.07% of rows land on (i9,99), flipping the sign of y).
+      `_seam_host` resolves just the twin orientation in f64.
+    * ``i1`` — the winning pair's second index (seam rows need it).
+    """
+    tx, ty = _trace_xy(x)
+    d0 = tx[:, :, None] - tx[:, None, :]
+    d1 = ty[:, :, None] - ty[:, None, :]
     d2 = d0 * d0 + d1 * d1
     triu = jnp.triu(jnp.ones((N_TRACE, N_TRACE), bool), 1)
-    # Exclude the duplicated endpoint (t=1 retraces t=0): any pair (i, 99)
-    # ties its twin (0, i) to within 1e-15, and the reference's row-major
-    # first-max always lands on the twin (flat index i < 100·i+99), so the
-    # restricted search returns the reference's pair without paying the
-    # host f64 tie-break for ~4% of rows — the seam was nearly all of the
-    # ambiguity; what remains flagged is genuine distinct-diameter ties.
+    # Exclude the duplicated endpoint: every pair (i, 99) ties its twin
+    # (0, i) to ~1e-15, which would flag ~4% of rows into the band for no
+    # reason; seam rows handle the twin-orientation question instead.
     triu = triu.at[:, N_TRACE - 1].set(False)
     d2 = jnp.where(triu[None], d2, -jnp.inf)
     flat = d2.reshape(x.shape[0], -1)
-    flat_idx = jnp.argmax(flat, axis=1)
-    top = jnp.take_along_axis(flat, flat_idx[:, None], axis=1)[:, 0]
-    flat = flat.at[jnp.arange(x.shape[0]), flat_idx].set(-jnp.inf)
-    second = jnp.max(flat, axis=1)
-    # Flag when the top-two d² gap is within the engine error: the f32
-    # on-device trace differs from the host f64 trace by ~2e-6 relative,
-    # so 1e-5 is a 5x-margin bound on "the f32 argmax could disagree with
-    # the reference's f64 argmax". (fourier.py's host screen uses 1e-4,
-    # but its screen and refine paths share the same f64 points — here
-    # the threshold must only cover cross-engine error, and the curve's
-    # flat quadratic maximum makes neighboring pairs cluster just above
-    # 1e-4, so the wider band would flag ~7% of rows and throttle the
-    # sweep on host refinement.)
-    ambiguous = (top - second) <= 1e-5 * top
+    top2, top2_idx = jax.lax.top_k(flat, 2)
+    top, second = top2[:, 0], top2[:, 1]
+    flat_idx = top2_idx[:, 0]
+    # top_k breaks exact-tie index order the same way argmax does (lowest
+    # index first); rows where it could matter have top == second and are
+    # band-flagged to the host refine anyway.
+    #
+    # Band threshold: the f32 on-device trace differs from the host f64
+    # trace by ~2e-6 relative, so 1e-5 is a 5x-margin bound on "the f32
+    # argmax could disagree with the reference's f64 argmax".
+    # (fourier.py's host screen uses 1e-4, but its screen and refine paths
+    # share the same f64 points — here the threshold must only cover
+    # cross-engine error; tools/validate_band.py pins the margin
+    # empirically on a random slice.)
+    band = (top - second) <= 1e-5 * top
     i0, i1 = flat_idx // N_TRACE, flat_idx % N_TRACE
-    p0 = jnp.take_along_axis(pts, i0[:, None, None], axis=1)[:, 0]
-    p1 = jnp.take_along_axis(pts, i1[:, None, None], axis=1)[:, 0]
-    delta = p1 - p0
+    seam = i0 == 0
+    tt = jnp.arange(N_TRACE, dtype=jnp.int32)[None]
+    oh0, oh1 = tt == i0[:, None], tt == i1[:, None]
+    p0x = jnp.sum(jnp.where(oh0, tx, 0.0), axis=1)
+    p0y = jnp.sum(jnp.where(oh0, ty, 0.0), axis=1)
+    p1x = jnp.sum(jnp.where(oh1, tx, 0.0), axis=1)
+    p1y = jnp.sum(jnp.where(oh1, ty, 0.0), axis=1)
     # y = (Δy, Δx): the reference stores (delta[1], delta[0]) (data.py:137)
-    feats = jnp.stack([delta[:, 1], delta[:, 0]], axis=1)
-    return feats, ambiguous
+    feats = jnp.stack([p1y - p0y, p1x - p0x], axis=1)
+    return feats, band, seam, i1
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _chunk_kernel(key, B):
-    """One device chunk: priors + f32 forward screen. Returns
-    (x (B,20), feats (B,2) pre-noise, ambiguous (B,), y_noise (B,2))."""
+N_PACK = 26  # packed chunk columns: x(20) | feats(2) | y_noise(2) | flag | i1
+
+
+def _chunk_body(key, B):
+    """One sub-batch of the pool sweep, packed for the tunnel.
+
+    Returns (packed (B, 26) f32, r0, theta, shift). ``packed`` holds
+    [x | feats pre-noise | y_noise | flag | i1] with flag = band·1 +
+    seam·2 + bad·4 and i1 the winning pair's second index (both exact in
+    f32). The (r0, θ, shift) draws stay ON DEVICE — the host fetches them
+    only when a flag-4 row needs full regeneration (measured ~0). One
+    packed transfer instead of ten matters because the tunneled axon
+    device costs ~31 ms latency per D2H transfer at ~25 MB/s: the
+    ten-array version sustained 12k rows/s end to end while the kernel
+    computes at 262k rows/s (artifacts/pool_rate_lens.json history)."""
     k_r, k_t, k_shift, k_noise = jax.random.split(key, 4)
     r0 = 1.0 + jax.random.uniform(k_r, (B,), jnp.float32)
     theta = 2.0 * jnp.pi * jax.random.uniform(k_t, (B,), jnp.float32)
     shift = jax.random.normal(k_shift, (B, 2), jnp.float32)
-    pts, valid, k = _lens_rings(r0, theta)
-    x = _ring_to_x(pts, valid, k, shift)
-    feats, ambiguous = _forward_screen(x)
+    px, py, k = _lens_rings_xy(r0, theta)
+    x = _ring_to_x_xy(px, py, k, shift)
+    feats, band, seam, i1 = _forward_screen(x)
     y_noise = 0.05 * jax.random.normal(k_noise, (B, 2), jnp.float32)
-    return x, feats, ambiguous, y_noise
+    bad = k == 0
+    flag = (
+        band.astype(jnp.float32)
+        + 2.0 * seam.astype(jnp.float32)
+        + 4.0 * bad.astype(jnp.float32)
+    )
+    packed = jnp.concatenate(
+        [x, feats, y_noise, flag[:, None], i1.astype(jnp.float32)[:, None]],
+        axis=1,
+    )
+    return packed, r0, theta, shift
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _chunk_kernel(key, B, G=1):
+    """G sub-batches per dispatch, one packed (G·B, 26) transfer.
+
+    ``lax.map`` serializes the G sub-batch sweeps so the big intermediate
+    buffers (the (B, 100, 100) screen distance tensor) stay B-sized, while
+    the per-dispatch and per-transfer tunnel overhead (~31 ms latency,
+    ~0.3 s/dispatch observed) amortizes over G·B rows. Sub-batch g draws
+    from fold_in(key, g), so grouping only changes how many chunks share
+    one dispatch — sample_joint's chunk-seed layout is unchanged."""
+    if G == 1:
+        return _chunk_body(key, B)
+    keys = jax.vmap(lambda g: jax.random.fold_in(key, g))(jnp.arange(G))
+    packed, r0, theta, shift = jax.lax.map(lambda k: _chunk_body(k, B), keys)
+    return (
+        packed.reshape(G * B, N_PACK),
+        r0.reshape(G * B),
+        theta.reshape(G * B),
+        shift.reshape(G * B, 2),
+    )
 
 
 def _refine_host(x_rows: np.ndarray) -> np.ndarray:
-    """Host f64 tie-break for ambiguous rows — byte-identical to the
-    reference path (fourier.py forward_process refinement): complex128
-    trace, f64 distances, row-major first-max. Batched over rows (the
-    sweep flags ~4% of samples; a per-row loop would throttle the
-    device pipeline)."""
+    """Host f64 tie-break for band rows — same decision as the reference
+    path (fourier.py forward_process refinement): complex128 trace, f64
+    distances, row-major first-max over the full squareform matrix.
+    Batched over rows."""
     from hint_tpu.data.fourier import LensShapeModel
 
     model = LensShapeModel()
@@ -267,31 +394,120 @@ def _refine_host(x_rows: np.ndarray) -> np.ndarray:
     return delta[:, ::-1].copy()  # (Δy, Δx)
 
 
+def _seam_host(x_rows: np.ndarray, i1: np.ndarray) -> np.ndarray:
+    """Twin-orientation decision for seam rows: the winning pair is
+    (0, i1) vs its seam twin (i1, 99). The reference's full-matrix argmax
+    (data.py:131-133) lands on (i1, 99) iff d(i1,99) > d(0,i1) strictly
+    in f64 (equal values resolve row-major first, flat index i1 <
+    100·i1+99). ~100x cheaper than `_refine_host`'s full matrix."""
+    from hint_tpu.data.fourier import LensShapeModel
+
+    model = LensShapeModel()
+    q = model.trace_fourier_curves(model.unflatten_coeffs(x_rows)).astype(np.float64)
+    rows = np.arange(len(q))
+    p0, pi, p99 = q[:, 0], q[rows, i1], q[:, N_TRACE - 1]
+    d_twin0 = np.sqrt((pi[:, 0] - p0[:, 0]) ** 2 + (pi[:, 1] - p0[:, 1]) ** 2)
+    d_twin9 = np.sqrt((p99[:, 0] - pi[:, 0]) ** 2 + (p99[:, 1] - pi[:, 1]) ** 2)
+    delta = np.where((d_twin9 > d_twin0)[:, None], p99 - pi, pi - p0)
+    return delta[:, ::-1].copy()  # (Δy, Δx)
+
+
+def _regen_host(r0: np.ndarray, theta: np.ndarray, shift: np.ndarray):
+    """Full host (f64) regeneration of rows whose f32 clip went degenerate,
+    from the same (r0, θ, shift) draws. Returns (x (R,20) f32, feats (R,2)
+    f64). Rare (~0 measured), so a per-row loop is fine."""
+    from hint_tpu.data import geometry as geo
+    from hint_tpu.data.fourier import LensShapeModel
+
+    model = LensShapeModel()
+    xs = []
+    for jj in range(len(r0)):
+        r = float(r0[jj])
+        th = float(theta[jj])
+        d = 0.8 * (r + 2 * r)
+        c0 = geo.circle_polygon(0.0, 0.0, r)
+        c1 = geo.circle_polygon(d * np.sin(th), d * np.cos(th), 2 * r)
+        ring = geo.convex_intersection(c0, c1)
+        coords = np.concatenate([ring, ring[:1]], axis=0)
+        coords = coords - (coords.mean(axis=0) + 0.5 * shift[jj])
+        xs.append(
+            model.flatten_coeffs(model.fourier_coeffs(coords, n_coeffs=N_COEFFS)[None])[0]
+        )
+    x = np.stack(xs).astype(np.float32)
+    return x, _refine_host(x)
+
+
+def _host_finish(packed, extras, noise: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Unpack one transferred chunk and apply the host-side fixes.
+
+    ``packed`` is the host copy of the kernel's (B, 26) array; ``extras``
+    are the still-on-device (r0, θ, shift) draws, fetched lazily only when
+    a bad row actually needs regeneration."""
+    x = np.ascontiguousarray(packed[:, :20])
+    feats = packed[:, 20:22].astype(np.float64)
+    y_noise = packed[:, 22:24]
+    flag = packed[:, 24].astype(np.int32)
+    i1 = packed[:, 25].astype(np.int32)
+    band = (flag & 1) != 0
+    seam = (flag & 2) != 0
+    bad = (flag & 4) != 0
+    if bad.any():
+        r0, theta, shift = (np.asarray(a) for a in extras)  # lazy D2H
+        x_fix, f_fix = _regen_host(r0[bad], theta[bad], shift[bad])
+        x[bad] = x_fix
+        feats[bad] = f_fix
+    full = band & ~bad
+    if full.any():
+        feats[full] = _refine_host(x[full])
+    seam_only = seam & ~band & ~bad
+    if seam_only.any():
+        feats[seam_only] = _seam_host(x[seam_only], i1[seam_only])
+    y = feats + (y_noise.astype(np.float64) if noise else 0.0)
+    return x, y.astype(np.float32)
+
+
 def sample_joint(
-    n: int, seed: int = 0, sub_batch: int = 32768, noise: bool = True
+    n: int,
+    seed: int = 0,
+    sub_batch: int = 32768,
+    noise: bool = True,
+    group: int = 8,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Draw n lens-shape (x, y) prior pairs on the accelerator.
 
-    Deterministic in (n, seed, sub_batch): chunk i uses
-    fold_in(PRNGKey(seed), i). Drop-in pool engine for
-    ``evaluation.abc.prepare_samples(engine="tpu")``.
+    Deterministic in (n, seed, sub_batch, group): dispatch i covers rows
+    [i·G·sub_batch, (i+1)·G·sub_batch) from fold_in(PRNGKey(seed), i),
+    sub-batch g within it from a second fold_in(·, g). Drop-in pool
+    engine for ``evaluation.abc.prepare_samples(engine="tpu")``.
+
+    Pipelined: dispatch i+1 is enqueued (and its packed D2H copy started)
+    before the host finishes dispatch i, so the tunnel transfer and the
+    f64 tie-break work overlap device compute instead of serializing
+    after it.
     """
-    xs, ys = [], []
-    remaining = n
-    i = 0
     base = jax.random.PRNGKey(seed)
-    while remaining > 0:
-        key = jax.random.fold_in(base, i)
-        x, feats, amb, y_noise = _chunk_kernel(key, sub_batch)
-        x = np.asarray(x)
-        feats = np.asarray(feats, np.float64)
-        amb = np.asarray(amb)
-        if amb.any():
-            feats[amb] = _refine_host(x[amb])
-        y = feats + (np.asarray(y_noise, np.float64) if noise else 0.0)
-        take = min(sub_batch, remaining)
+    g_eff = max(1, min(group, -(-n // sub_batch)))
+    rows = g_eff * sub_batch
+    n_disp = max(1, -(-n // rows))
+
+    def dispatch(i):
+        packed, r0, theta, shift = _chunk_kernel(
+            jax.random.fold_in(base, i), sub_batch, g_eff
+        )
+        try:  # start the packed D2H copy behind the kernel in-queue
+            packed.copy_to_host_async()
+        except Exception:
+            pass
+        return packed, (r0, theta, shift)
+
+    xs, ys = [], []
+    pending = dispatch(0)
+    for i in range(n_disp):
+        nxt = dispatch(i + 1) if i + 1 < n_disp else None
+        packed, extras = pending
+        x, y = _host_finish(np.asarray(packed), extras, noise)
+        take = min(rows, n - i * rows)
         xs.append(x[:take])
-        ys.append(y[:take].astype(np.float32))
-        remaining -= take
-        i += 1
+        ys.append(y[:take])
+        pending = nxt
     return np.concatenate(xs), np.concatenate(ys)

@@ -40,19 +40,24 @@ ABC_SEED_OFFSET = 0x5EED0000
 
 
 def _sample_chunk(args):
-    model_factory, n, seed, engine = args
+    model_factory, n, seed, engine, sub_batch = args
     model = model_factory()
     if engine == "tpu":
-        # batched accelerator sweep (lens only): minutes instead of hours
-        # at pool scale; runs in-process (no fork — JAX state isn't
-        # fork-safe), chunk-deterministic in its PRNGKey seed
-        from hint_tpu.data import lens_tpu
+        # batched accelerator sweep: minutes instead of hours at pool
+        # scale; runs in-process (no fork — JAX state isn't fork-safe),
+        # chunk-deterministic in its PRNGKey seed
+        kw = {} if sub_batch is None else {"sub_batch": sub_batch}
+        if model.name == "lens-shape1":
+            from hint_tpu.data import lens_tpu
 
-        if model.name != "lens-shape1":
-            raise NotImplementedError(
-                f"engine='tpu' supports the lens family only, got {model.name}"
-            )
-        return lens_tpu.sample_joint(n, seed=seed)
+            return lens_tpu.sample_joint(n, seed=seed, **kw)
+        if model.name == "plus-shape":
+            from hint_tpu.data import plus_tpu
+
+            return plus_tpu.sample_joint(n, seed=seed, **kw)
+        raise NotImplementedError(
+            f"engine='tpu' supports lens/plus families, got {model.name}"
+        )
     if engine in ("auto", "native"):
         try:
             from hint_tpu.data import native
@@ -78,6 +83,7 @@ def prepare_samples(
     n_workers: Optional[int] = None,
     seed: int = 0,
     engine: str = "auto",
+    sub_batch: Optional[int] = None,
 ) -> ArrayPair:
     """Draw ``n_total`` prior samples + observations in parallel and cache to
     ``abc/{name}_{x,y}_huge.npy`` (rejection_sampling.py:76-85).
@@ -127,12 +133,27 @@ def prepare_samples(
     tfx, tfy = fx + ".building", fy + ".building"
     prog_path = fx + ".progress"
     done = set()
-    x_probe, y_probe = _sample_chunk((model_factory, 2, ABC_SEED_OFFSET + seed, engine))
+    x_probe, y_probe = _sample_chunk(
+        (model_factory, 2, ABC_SEED_OFFSET + seed, engine, sub_batch)
+    )
     if os.path.exists(tfx) and os.path.exists(tfy) and os.path.exists(prog_path):
         with open(prog_path) as f:
             hdr = f.readline().split()
+        # The engine is part of the pool's provenance: a pool started under
+        # engine='native' (MT19937, f64 geometry) must not silently complete
+        # under engine='tpu' (threefry, f32) — that would mix generators in
+        # one cache with no record. Old 3-field headers predate the engine
+        # field and are likewise refused (fresh rebuild).
         if hdr[:3] == [str(n_total), str(chunk), str(seed)]:
-            done = {int(l) for l in open(prog_path).read().split()[3:]}
+            if len(hdr) > 3 and hdr[3] == engine:
+                done = {int(l) for l in open(prog_path).read().split()[4:]}
+            else:
+                raise RuntimeError(
+                    f"partial pool {tfx} was built with engine="
+                    f"{hdr[3] if len(hdr) > 3 else '<unrecorded>'!r}, refusing "
+                    f"to resume with engine={engine!r} — delete the .building/"
+                    f".progress sidecars to rebuild from scratch"
+                )
     if done:  # resume: reopen in place (header already on disk)
         xs = np.lib.format.open_memmap(tfx, mode="r+")
         ys = np.lib.format.open_memmap(tfy, mode="r+")
@@ -146,14 +167,14 @@ def prepare_samples(
         )
     if not done:
         with open(prog_path, "w") as f:
-            f.write(f"{n_total} {chunk} {seed}\n")
+            f.write(f"{n_total} {chunk} {seed} {engine}\n")
     todo = [i for i in range(n_chunks) if i not in done]
     if todo and engine == "tpu":
         # in-process serial loop: the device is the parallelism
         with open(prog_path, "a") as prog:
             for j, i in enumerate(todo):
                 xc, yc = _sample_chunk(
-                    (model_factory, chunk, ABC_SEED_OFFSET + seed + i, engine)
+                    (model_factory, chunk, ABC_SEED_OFFSET + seed + i, engine, sub_batch)
                 )
                 xs[i * chunk : (i + 1) * chunk] = xc[:chunk]
                 ys[i * chunk : (i + 1) * chunk] = yc[:chunk]
@@ -169,7 +190,10 @@ def prepare_samples(
                     )
         todo = []
     if todo:
-        args = [(model_factory, chunk, ABC_SEED_OFFSET + seed + i, engine) for i in todo]
+        args = [
+            (model_factory, chunk, ABC_SEED_OFFSET + seed + i, engine, sub_batch)
+            for i in todo
+        ]
         # fork, deliberately: spawn re-imports __main__ (hangs REPL/stdin
         # callers without a __main__ guard), and the workers touch only
         # numpy/scipy — no JAX/XLA state crosses the fork.

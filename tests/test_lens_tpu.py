@@ -64,19 +64,40 @@ def test_x_parity_fixed_draws():
 
 
 def test_forward_parity():
-    """Device screen + host refine == the host forward process (noise=0),
-    on real prior samples (which include exact-tie diameters)."""
+    """Device screen + host refine/seam fix == the host forward process
+    (noise=0), on real prior samples (which include exact-tie diameters
+    and seam-twin rows whose reference argmax lands on (i, 99))."""
     model = LensShapeModel()
     np.random.seed(11)
     x = model.sample_prior(96).astype(np.float32)
     np.random.seed(0)
     ref = model.forward_process(x.copy(), noise=0.0)
-    feats, amb = jax.jit(lens_tpu._forward_screen)(jnp.asarray(x))
+    feats, band, seam, i1 = jax.jit(lens_tpu._forward_screen)(jnp.asarray(x))
     feats = np.asarray(feats, np.float64)
-    amb = np.asarray(amb)
-    if amb.any():
-        feats[amb] = lens_tpu._refine_host(x[amb])
+    band, seam, i1 = np.asarray(band), np.asarray(seam), np.asarray(i1)
+    if band.any():
+        feats[band] = lens_tpu._refine_host(x[band])
+    seam_only = seam & ~band
+    if seam_only.any():
+        feats[seam_only] = lens_tpu._seam_host(x[seam_only], i1[seam_only])
     np.testing.assert_allclose(feats, ref, atol=2e-4, rtol=0)
+
+
+def test_seam_host_matches_full_refine():
+    """The cheap twin-orientation path must agree with the full-matrix f64
+    refine on every seam-flagged row (both reproduce the reference's
+    squareform(pdist) argmax; _seam_host just skips the other 9,998
+    distances)."""
+    model = LensShapeModel()
+    np.random.seed(29)
+    x = model.sample_prior(600).astype(np.float32)
+    _, band, seam, i1 = jax.jit(lens_tpu._forward_screen)(jnp.asarray(x))
+    band, seam, i1 = np.asarray(band), np.asarray(seam), np.asarray(i1)
+    rows = seam & ~band
+    assert rows.any(), "prior draw produced no seam rows; enlarge the sample"
+    fast = lens_tpu._seam_host(x[rows], i1[rows])
+    full = lens_tpu._refine_host(x[rows])
+    np.testing.assert_array_equal(fast, full)
 
 
 def test_sample_joint_deterministic_and_shaped():
