@@ -22,8 +22,9 @@ hint_tpu model API instead of exec-imported torch config modules.
 * ``metrics_illustration``      — IoU/Hausdorff explainer figure
   (plot_data.py:270-319), with the shapely boolean fills replaced by an
   even-odd raster fill (hint_tpu.data.geometry).
-* ``LineDataUnits``             — line whose width is in data units
-  (plot_data.py:16-34), used for condition overlays.
+* ``_data_stripe``              — bar whose width is in data units
+  (replaces plot_data.py:16-34's Line2D subclass with a plain polygon
+  patch), used for condition overlays.
 """
 
 from __future__ import annotations
@@ -81,35 +82,31 @@ def example_outline(n: int = 120, seed: int = 7) -> np.ndarray:
         return np.stack([x, y], axis=1)
 
 
-class _LineDataUnits:
-    """Factory for a Line2D whose linewidth is measured in data units
-    (plot_data.py:16-34)."""
+def _data_stripe(ax, p0, p1, width, color, zorder=0):
+    """Bar from p0 to p1 whose WIDTH is in data units, as a polygon patch.
 
-    def __new__(cls, *args, **kwargs):
-        from matplotlib.lines import Line2D
+    The reference overlays these with a Line2D subclass that rescales its
+    linewidth through the axes transform (plot_data.py:16-34). For our
+    static headless figures a data-units-wide line segment is simply a
+    rectangle in data space, so draw the rectangle — no transform hooks,
+    and it stays correct if the axes are resized after the call.
+    """
+    from matplotlib.patches import Polygon
 
-        class LineDataUnits(Line2D):
-            def __init__(self, *a, **kw):
-                _lw_data = kw.pop("linewidth", 1)
-                super().__init__(*a, **kw)
-                self._lw_data = _lw_data
-
-            def _get_lw(self):
-                if self.axes is not None:
-                    ppd = 72.0 / self.axes.figure.dpi
-                    trans = self.axes.transData.transform
-                    return ((trans((1, self._lw_data)) - trans((0, 0))) * ppd)[1]
-                return 1
-
-            def _set_lw(self, lw):
-                self._lw_data = lw
-
-            _linewidth = property(_get_lw, _set_lw)
-
-        return LineDataUnits(*args, **kwargs)
-
-
-LineDataUnits = _LineDataUnits
+    p0 = np.asarray(p0, dtype=float)
+    p1 = np.asarray(p1, dtype=float)
+    d = p1 - p0
+    norm = float(np.hypot(d[0], d[1])) or 1.0
+    n = np.array([-d[1], d[0]]) * (0.5 * width / norm)
+    ax.add_patch(
+        Polygon(
+            [p0 - n, p0 + n, p1 + n, p1 - n],
+            closed=True,
+            facecolor=color,
+            edgecolor="none",
+            zorder=zorder,
+        )
+    )
 
 
 def _curve_axes(ax, limits):
@@ -266,16 +263,18 @@ def plot_model_conditional(
             cx, cy, angle, ratio = y_target
             xwidth, ywidth = float(fit_params[2]), float(fit_params[3])
             width = max(xwidth, ywidth) if ratio > 1 else min(xwidth, ywidth)
-            axes[i].add_line(LineDataUnits(
-                [cx - 100 * np.cos(angle), cx + 100 * np.cos(angle)],
-                [cy - 100 * np.sin(angle), cy + 100 * np.sin(angle)],
-                linewidth=width, color=(0.2, 1, 0.5, 0.1), zorder=-10,
-            ))
-            axes[i].add_line(LineDataUnits(
-                [cx + 100 * np.sin(angle), cx - 100 * np.sin(angle)],
-                [cy - 100 * np.cos(angle), cy + 100 * np.cos(angle)],
-                linewidth=width / ratio, color=(0.2, 1, 0.5, 0.1), zorder=-10,
-            ))
+            _data_stripe(
+                axes[i],
+                (cx - 100 * np.cos(angle), cy - 100 * np.sin(angle)),
+                (cx + 100 * np.cos(angle), cy + 100 * np.sin(angle)),
+                width, color=(0.2, 1, 0.5, 0.1), zorder=-10,
+            )
+            _data_stripe(
+                axes[i],
+                (cx + 100 * np.sin(angle), cy - 100 * np.cos(angle)),
+                (cx - 100 * np.sin(angle), cy + 100 * np.cos(angle)),
+                width / ratio, color=(0.2, 1, 0.5, 0.1), zorder=-10,
+            )
     corr = np.corrcoef(x.T)
     f_corr = os.path.join(cache_dir, f"{data_model.name}_corr_conditional.npy")
     if os.path.exists(f_corr):

@@ -34,11 +34,20 @@ def test_parameter_sensitivity(tmp_path):
     assert os.path.exists(p)
 
 
-def test_line_data_units_constructs():
-    line = figures.LineDataUnits([0, 1], [0, 1], linewidth=0.5, color=(0, 0, 0))
-    from matplotlib.lines import Line2D
+def test_data_stripe_geometry():
+    """The data-units-wide bar is a rectangle of the right extent."""
+    import matplotlib
 
-    assert isinstance(line, Line2D)
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots()
+    figures._data_stripe(ax, (0.0, 0.0), (10.0, 0.0), width=0.5, color=(0, 0, 0, 0.1))
+    (patch,) = ax.patches
+    verts = patch.get_xy()
+    assert verts[:, 1].min() == -0.25 and verts[:, 1].max() == 0.25
+    assert verts[:, 0].min() == 0.0 and verts[:, 0].max() == 10.0
+    plt.close(fig)
 
 
 def test_plot_ablation_grid(tmp_path):
