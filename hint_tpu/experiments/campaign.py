@@ -171,9 +171,18 @@ def stage_train(
     dtype: str = "float32",
     configs=None,
     max_minutes: Optional[float] = None,
+    require_ckpt: bool = False,
 ) -> None:
     """Train every (config, seed) at the reference budget; skip existing
-    checkpoints; record final test losses + wall-clock in train_log.json."""
+    checkpoints; record final test losses + wall-clock in train_log.json.
+
+    ``require_ckpt=True`` treats only an on-disk .npz as done: a host
+    reboot wipes the gitignored checkpoints but leaves the committed
+    train_log, and the comparison/figure stages need the weights back.
+    Retrains are reproducible (seeded data regen + PRNGKey(seed) init), so
+    the refreshed log entry is checked against the old one and any final-
+    loss drift > 0.05 nats is reported loudly instead of silently absorbed.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -185,7 +194,8 @@ def stage_train(
     for config in configs or family_configs(family):
         log = _read_log()
         if all(
-            f"{config}|s{s}|{dtype}" in log or os.path.exists(_ckpt_path(config, s, dtype))
+            os.path.exists(_ckpt_path(config, s, dtype))
+            or (not require_ckpt and f"{config}|s{s}|{dtype}" in log)
             for s in seeds
         ):
             continue  # nothing to do — don't pay the 400 MB dataset load
@@ -203,7 +213,8 @@ def stage_train(
             # the train_log is the durable record of a finished run; the
             # .npz checkpoint is a scoring convenience that may have been
             # cleaned up (they are gitignored bulk) — either one means done
-            if key in _read_log() or os.path.exists(path):
+            # unless the caller needs the weights back (require_ckpt)
+            if os.path.exists(path) or (not require_ckpt and key in _read_log()):
                 continue
             if max_minutes and (time.time() - t_stage) / 60 > max_minutes:
                 print("stage time budget reached; re-invoke to continue")
@@ -218,6 +229,15 @@ def stage_train(
             minutes = (time.time() - t0) / 60
             checkpoint.save_npz(path, state, model=trainer.model)
             log = _read_log()
+            prev = log.get(key)
+            if prev is not None and np.isfinite(prev.get("final_test_loss", np.nan)):
+                drift = abs(float(final) - prev["final_test_loss"])
+                if not np.isfinite(float(final)) or drift > 0.05:
+                    print(
+                        f"WARNING {key}: retrained final loss {float(final):.4f} "
+                        f"drifts {drift:.4f} nats from the logged "
+                        f"{prev['final_test_loss']:.4f}", flush=True,
+                    )
             log[key] = {
                 "final_test_loss": float(final),
                 "per_dim_ll": float(-final / cfg.ndim_x),
@@ -952,6 +972,9 @@ def main(argv=None):
             sp.add_argument("--dtype", default="float32")
             sp.add_argument("--configs", nargs="*", default=None)
             sp.add_argument("--max-minutes", type=float, default=None)
+            sp.add_argument("--require-ckpt", action="store_true",
+                            help="treat only an on-disk .npz as done "
+                                 "(rebuild weights wiped by a reboot)")
         if s == "pool":
             sp.add_argument("--n", type=int, default=10_000_000)
         if s == "compare":
@@ -985,7 +1008,8 @@ def main(argv=None):
         stage_data(args.family)
     elif args.stage == "train":
         stage_train(args.family, tuple(args.seeds), dtype=args.dtype,
-                    configs=args.configs or None, max_minutes=args.max_minutes)
+                    configs=args.configs or None, max_minutes=args.max_minutes,
+                    require_ckpt=args.require_ckpt)
     elif args.stage == "pool":
         stage_pool(args.family, args.n)
     elif args.stage == "compare":

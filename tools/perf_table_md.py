@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Render artifacts/perf_families.json as the docs/perf.md markdown table
-(VERDICT r3 #5). Prints the table; paste/update into docs/perf.md.
+(VERDICT r3 #5 / r4 #4). Prints the table; paste/update into docs/perf.md.
 
 Usage: python tools/perf_table_md.py
 """
@@ -14,15 +14,23 @@ with open("artifacts/perf_families.json") as f:
 rows = [(tag, rec) for tag, rec in d.items()
         if isinstance(rec, dict) and "steps_per_s" in rec]
 print("| family / config | dtype | batch | d | ms/step | steps/s | rows/s "
-      "| TFLOP/s (MXU %) | GB/s (HBM %) | bound |")
+      "| TFLOP/s (MXU %) | HBM floor % | bound |")
 print("|---|---|---|---|---|---|---|---|---|---|")
 for tag, r in rows:
     print(f"| {r['config'].split('.')[-1]} ({tag.split('-')[0]}) | {r['dtype']} "
           f"| {r['batch']:,} | {r['ndim_x']} | {r['step_ms']:.2f} "
           f"| {r['steps_per_s']:.1f} | {r['rows_per_s']:,.0f} "
           f"| {r['achieved_tflops']:.2f} ({r['mxu_util']*100:.1f}%) "
-          f"| {r['achieved_gbps']:.0f} ({r['hbm_util']*100:.1f}%) "
+          f"| {r['hbm_util_floor']*100:.1f}% "
           f"| {r['bound']} |")
+print(
+    "\nHBM floor % = (param/opt-state read+write + batch read) / peak HBM "
+    "bandwidth / measured step time — a physical LOWER bound on bandwidth "
+    "utilization (activations assumed fully fused). The XLA cost model's "
+    "'bytes accessed' is recorded per row as cost_bytes_upper but is NOT a "
+    "utilization basis: it charges fusion-internal traffic as if it hit "
+    "HBM and exceeds physical bandwidth at these shapes."
+)
 
 for key, rec in d.items():
     if key.startswith("compile32:"):

@@ -1,0 +1,79 @@
+#!/usr/bin/env bash
+# Round-5 TPU work queue — value-first (VERDICT r4 #6): the 1e8-GT lens
+# conditional comparison lands FIRST, then plus, then grid seed-2 fill-ins,
+# then perf. One TPU process at a time; every stage is idempotent, so
+# re-invoking this script resumes wherever a cut left off. Each stage logs
+# to artifacts/r5_<stage>.log and the queue narrates to stdout.
+set -u
+cd "$(dirname "$0")/.."
+Q() { echo "[r5-queue $(date +%H:%M:%S)] $*"; }
+
+run() { # run <name> <cmd...>
+    local name="$1"; shift
+    Q "stage $name: $*"
+    "$@" > "artifacts/r5_${name}.log" 2>&1
+    local rc=$?
+    Q "stage $name: rc=$rc ($(tail -1 "artifacts/r5_${name}.log" | head -c 160))"
+    return $rc
+}
+
+# ---- 1. lens pool (resume/no-op if complete) --------------------------------
+run pool_lens python tools/pool_tpu.py lens 100000000 || exit 1
+
+# ---- 2. tie-break validation: TPU gen now, CPU recheck overlapped ----------
+if [ ! -f artifacts/lens_tiebreak_validation.json ] || \
+   [ "$(python -c 'import json;print(json.load(open("artifacts/lens_tiebreak_validation.json"))["n_rows"])' 2>/dev/null)" != "100000" ]; then
+    run tiebreak_gen python tools/validate_tiebreak.py 100000 16384 --gen-only
+    Q "tie-break f64 recheck running in background (CPU)"
+    nohup python tools/validate_tiebreak.py 100000 16384 --recheck \
+        > artifacts/r5_tiebreak_recheck.log 2>&1 &
+fi
+
+# ---- 3. lens conditional retrain (checkpoints wiped by reboot) --------------
+run train_lens_cond python -m hint_tpu.experiments.campaign train --family lens \
+    --require-ckpt --configs \
+    lens_shape.conditional_cinn_1 lens_shape.conditional_cinn_2 \
+    lens_shape.conditional_cinn_4 lens_shape.conditional_cinn_8 \
+    lens_shape.conditional_hint_1_full lens_shape.conditional_hint_2_full \
+    lens_shape.conditional_hint_4_full lens_shape.conditional_hint_8_full
+
+# ---- 4. lens GT posteriors vs the 1e8 pool (fresh targets) ------------------
+run gt_lens python tools/precompute_gt_fresh.py lens 1000
+
+# ---- 5. the headline: lens conditional compare, 3 runs x 1000 targets -------
+for r in 0 1 2; do
+    run compare_lens_$r python -m hint_tpu.experiments.campaign compare \
+        --family lens --kind conditional --run "$r"
+done
+
+# ---- 6. plus pool: honest rate first, then the build ------------------------
+if [ ! -f artifacts/pool_rate_plus.json ]; then
+    run rate_plus python tools/time_pool_engine.py plus 2097152
+fi
+run pool_plus python tools/pool_tpu.py plus 100000000 || exit 1
+
+# ---- 7-9. plus conditional: retrain, GT, compare ----------------------------
+run train_plus_cond python -m hint_tpu.experiments.campaign train --family plus \
+    --require-ckpt --configs \
+    plus_shape.conditional_cinn_4 plus_shape.conditional_hint_4_full
+run gt_plus python tools/precompute_gt_fresh.py plus 1000
+for r in 0 1 2; do
+    run compare_plus_$r python -m hint_tpu.experiments.campaign compare \
+        --family plus --kind conditional --run "$r"
+done
+
+# ---- 10. ablation grid seed 2 (27 remaining configs) -------------------------
+run grid_s2 python -m hint_tpu.experiments.campaign grid --seeds 2
+
+# ---- 10b. probe the two uninvestigated seed-2 divergences --------------------
+[ -f artifacts/diverge_unconditional_hint_16_1_s2.json ] || \
+    run probe_hint16 python tools/diverge_probe.py plus_shape.unconditional_hint_16_1 2
+[ -f artifacts/diverge_unconditional_inn_32_s2.json ] || \
+    run probe_inn32 python tools/diverge_probe.py plus_shape.unconditional_inn_32 2
+
+# ---- 11. perf families (UCI rows + bf16 conditional + fixed roofline) --------
+run perf python tools/perf_families.py
+
+# ---- 12. refresh the published report ----------------------------------------
+run report python -m hint_tpu.experiments.campaign report
+Q "queue complete"
