@@ -24,9 +24,17 @@ run pool_lens python tools/pool_tpu.py lens 100000000 || exit 1
 if [ ! -f artifacts/lens_tiebreak_validation.json ] || \
    [ "$(python -c 'import json;print(json.load(open("artifacts/lens_tiebreak_validation.json"))["n_rows"])' 2>/dev/null)" != "100000" ]; then
     run tiebreak_gen python tools/validate_tiebreak.py 100000 16384 --gen-only
-    Q "tie-break f64 recheck running in background (CPU)"
-    nohup python tools/validate_tiebreak.py 100000 16384 --recheck \
-        > artifacts/r5_tiebreak_recheck.log 2>&1 &
+    # don't stack rechecks across supervisor restarts: skip if one is alive
+    if [ -f /tmp/r5_recheck.pid ] && kill -0 "$(cat /tmp/r5_recheck.pid)" 2>/dev/null; then
+        Q "tie-break f64 recheck already running (pid $(cat /tmp/r5_recheck.pid))"
+    else
+        Q "tie-break f64 recheck running in background (CPU)"
+        # setsid: detach from the queue's process group so a supervisor
+        # stall-kill of the queue PGID doesn't take the recheck down too
+        nohup setsid python tools/validate_tiebreak.py 100000 16384 --recheck \
+            > artifacts/r5_tiebreak_recheck.log 2>&1 &
+        echo $! > /tmp/r5_recheck.pid
+    fi
 fi
 
 # ---- 3. lens conditional retrain (checkpoints wiped by reboot) --------------
