@@ -1,38 +1,81 @@
 #!/usr/bin/env python
 """Render artifacts/perf_families.json as the docs/perf.md markdown table
-(VERDICT r3 #5 / r4 #4). Prints the table; paste/update into docs/perf.md.
+(VERDICT r3 #5 / r4 #4). By default prints the table; with ``--write`` it
+splices the rendering into docs/perf.md between the PERF_TABLE markers so
+the published doc can never lag the artifact.
 
-Usage: python tools/perf_table_md.py
+Usage: python tools/perf_table_md.py [--write]
 """
 from __future__ import annotations
 
 import json
+import sys
 
-with open("artifacts/perf_families.json") as f:
-    d = json.load(f)
+BEGIN = "<!-- PERF_TABLE_BEGIN (tools/perf_table_md.py --write) -->"
+END = "<!-- PERF_TABLE_END -->"
 
-rows = [(tag, rec) for tag, rec in d.items()
-        if isinstance(rec, dict) and "steps_per_s" in rec]
-print("| family / config | dtype | batch | d | ms/step | steps/s | rows/s "
-      "| TFLOP/s (MXU %) | HBM floor % | bound |")
-print("|---|---|---|---|---|---|---|---|---|---|")
-for tag, r in rows:
-    print(f"| {r['config'].split('.')[-1]} ({tag.split('-')[0]}) | {r['dtype']} "
-          f"| {r['batch']:,} | {r['ndim_x']} | {r['step_ms']:.2f} "
-          f"| {r['steps_per_s']:.1f} | {r['rows_per_s']:,.0f} "
-          f"| {r['achieved_tflops']:.2f} ({r['mxu_util']*100:.1f}%) "
-          f"| {r['hbm_util_floor']*100:.1f}% "
-          f"| {r['bound']} |")
-print(
-    "\nHBM floor % = (param/opt-state read+write + batch read) / peak HBM "
-    "bandwidth / measured step time — a physical LOWER bound on bandwidth "
-    "utilization (activations assumed fully fused). The XLA cost model's "
-    "'bytes accessed' is recorded per row as cost_bytes_upper but is NOT a "
-    "utilization basis: it charges fusion-internal traffic as if it hit "
-    "HBM and exceeds physical bandwidth at these shapes."
-)
 
-for key, rec in d.items():
-    if key.startswith("compile32:"):
-        print(f"\n{key}: scanned {rec['scanned_compile_s']:.1f}s vs unrolled "
-              f"{rec['unrolled_compile_s']:.1f}s compile; terms_close={rec['terms_close']}")
+def render() -> str:
+    with open("artifacts/perf_families.json") as f:
+        d = json.load(f)
+
+    # old-schema rows (pre r5 roofline fix) lack hbm_util_floor; they are
+    # re-measured by perf_families.py — skip rather than crash if any linger
+    rows = [(tag, rec) for tag, rec in d.items()
+            if isinstance(rec, dict) and "steps_per_s" in rec
+            and "hbm_util_floor" in rec]
+    out = []
+    out.append("| family / config | dtype | batch | d | ms/step | steps/s "
+               "| rows/s | TFLOP/s (MXU %) | HBM floor % | bound |")
+    out.append("|---|---|---|---|---|---|---|---|---|---|")
+    for tag, r in rows:
+        out.append(
+            f"| {r['config'].split('.')[-1]} ({tag.split('-')[0]}) | {r['dtype']} "
+            f"| {r['batch']:,} | {r['ndim_x']} | {r['step_ms']:.2f} "
+            f"| {r['steps_per_s']:.1f} | {r['rows_per_s']:,.0f} "
+            f"| {r['achieved_tflops']:.2f} ({r['mxu_util']*100:.1f}%) "
+            f"| {r['hbm_util_floor']*100:.1f}% "
+            f"| {r['bound']} |")
+    out.append("")
+    out.append(
+        "HBM floor % = (param/opt-state read+write + batch read) / peak HBM "
+        "bandwidth / measured step time — a physical LOWER bound on bandwidth "
+        "utilization (activations assumed fully fused). The XLA cost model's "
+        "'bytes accessed' is recorded per row as cost_bytes_upper but is NOT a "
+        "utilization basis: it charges fusion-internal traffic as if it hit "
+        "HBM and exceeds physical bandwidth at these shapes."
+    )
+    extra = []
+    for key, rec in d.items():
+        if key.startswith("compile32:"):
+            extra.append(
+                f"{key}: scanned {rec['scanned_compile_s']:.1f}s vs unrolled "
+                f"{rec['unrolled_compile_s']:.1f}s compile; "
+                f"terms_close={rec['terms_close']}")
+    return "\n".join(out), extra
+
+
+def write_into_doc(table: str, path: str = "docs/perf.md") -> None:
+    with open(path) as f:
+        doc = f.read()
+    block = f"{BEGIN}\n{table}\n{END}"
+    if BEGIN in doc:
+        pre = doc.split(BEGIN)[0]
+        post = doc.split(END, 1)[1]
+        doc = pre + block + post
+    else:
+        # first run: append as its own section
+        doc = doc.rstrip() + ("\n\n## Per-family throughput "
+                              "(slope-timed, one v5e chip)\n\n") + block + "\n"
+    with open(path, "w") as f:
+        f.write(doc)
+    print(f"wrote table into {path}")
+
+
+if __name__ == "__main__":
+    table, extra = render()
+    print(table)
+    for line in extra:
+        print("\n" + line)
+    if "--write" in sys.argv:
+        write_into_doc(table)

@@ -81,6 +81,7 @@ run grid_s2 python -m hint_tpu.experiments.campaign grid --seeds 2
 
 # ---- 11. perf families (UCI rows + bf16 conditional + fixed roofline) --------
 run perf python tools/perf_families.py
+run perf_table python tools/perf_table_md.py --write
 
 # ---- 12. refresh the published report ----------------------------------------
 run report python -m hint_tpu.experiments.campaign report
