@@ -790,14 +790,37 @@ def stage_report(abc_dir: str = "abc") -> str:
             lines.append(f"| {config} | {f:.3f} | {b:.3f} | {b - f:+.3f} |")
         lines.append("")
 
-    # MMD comparisons
+    # MMD comparisons. Fresh sweeps live in gitignored abc/ next to the pool
+    # they were scored against; the committed archive
+    # (artifacts/campaign/comparisons/ + PROVENANCE.json, written by
+    # tools/archive_comparisons.py) is the fallback so a wiped abc/ never
+    # silently drops a table from the published report.
+    archive_dir = os.path.join(CAMPAIGN_DIR, "comparisons")
+    prov_path = os.path.join(archive_dir, "PROVENANCE.json")
+    provenance = {}
+    if os.path.exists(prov_path):
+        with open(prov_path) as f:
+            provenance = json.load(f)
     for (family, kind), configs in MODEL_SETS.items():
         name = DATA_MODEL_NAME[family]
         rows = {}
+        sources = set()
         for run in range(3):
-            p = os.path.join(abc_dir, f"{name}_{kind}_comparison_{run}.pkl")
-            if not os.path.exists(p):
-                continue
+            fname = f"{name}_{kind}_comparison_{run}.pkl"
+            p = os.path.join(abc_dir, fname)
+            if os.path.exists(p):
+                fx = os.path.join(abc_dir, f"{name}_x_huge.npy")
+                n_pool = (np.load(fx, mmap_mode="r").shape[0]
+                          if os.path.exists(fx) else None)
+                sources.add(f"fresh sweep vs the live {n_pool:,}-row pool"
+                            if n_pool else "fresh sweep (abc/)")
+            else:
+                p = os.path.join(archive_dir, fname)
+                if not os.path.exists(p):
+                    continue
+                sources.add(provenance.get(
+                    fname, "archived record (pool size unrecorded; "
+                           "r3/r4 sweeps used N=1e7)"))
             with open(p, "rb") as f:
                 d = pickle.load(f)
             for cfg_name, rec in d.items():
@@ -821,6 +844,8 @@ def stage_report(abc_dir: str = "abc") -> str:
                 f"| {cfg_name} | {_mean_std(r['mmds'], '.4f')} "
                 f"| {np.mean(r['rej']):.4f} | {d} |"
             )
+        for src in sorted(sources):
+            lines.append(f"\nGT/prior pool: {src}.")
         lines.append("")
 
     # shape scores

@@ -83,6 +83,7 @@ run grid_s2 python -m hint_tpu.experiments.campaign grid --seeds 2
 run perf python tools/perf_families.py
 run perf_table python tools/perf_table_md.py --write
 
-# ---- 12. refresh the published report ----------------------------------------
+# ---- 12. archive fresh comparisons, then refresh the published report --------
+run archive python tools/archive_comparisons.py r5
 run report python -m hint_tpu.experiments.campaign report
 Q "queue complete"
