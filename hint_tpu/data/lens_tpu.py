@@ -254,9 +254,19 @@ def _trace_xy(x):
     ms = jnp.arange(-(N_COEFFS // 2), N_COEFFS // 2 + 1, dtype=jnp.float32)
     ang = 2.0 * jnp.pi * t[:, None] * ms[None, :]  # (100,5), constant-folded
     bc, bs = jnp.cos(ang), jnp.sin(ang)
-    # Re((cr + i·ci)(cos + i·sin)) = cr·cos − ci·sin
-    tx = real[:, 0] @ bc.T - imag[:, 0] @ bs.T  # (B,100)
-    ty = real[:, 1] @ bc.T - imag[:, 1] @ bs.T
+    # Re((cr + i·ci)(cos + i·sin)) = cr·cos − ci·sin. precision=HIGHEST is
+    # load-bearing: at default precision the TPU MXU runs these f32 matmuls
+    # as single bf16 passes (~1e-3 relative error), which round-5's on-chip
+    # tie-break audit measured as 4e-3 median feat error and 0.2% silent
+    # argmax flips — far outside the 1e-5 band the screen assumes. HIGHEST
+    # restores ~f32 accuracy; K=5 makes the extra passes free.
+    P = jax.lax.Precision.HIGHEST
+    tx = jnp.matmul(real[:, 0], bc.T, precision=P) - jnp.matmul(
+        imag[:, 0], bs.T, precision=P
+    )  # (B,100)
+    ty = jnp.matmul(real[:, 1], bc.T, precision=P) - jnp.matmul(
+        imag[:, 1], bs.T, precision=P
+    )
     return tx, ty
 
 

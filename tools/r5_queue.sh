@@ -21,13 +21,25 @@ run() { # run <name> <cmd...>
 run pool_lens python tools/pool_tpu.py lens 100000000 || exit 1
 
 # ---- 2. tie-break validation: TPU gen now, CPU recheck overlapped ----------
-if [ ! -f artifacts/lens_tiebreak_validation.json ] || \
-   [ "$(python -c 'import json;print(json.load(open("artifacts/lens_tiebreak_validation.json"))["n_rows"])' 2>/dev/null)" != "100000" ]; then
-    run tiebreak_gen python tools/validate_tiebreak.py 100000 16384 --gen-only
-    # don't stack rechecks across supervisor restarts: skip if one is alive
-    if [ -f /tmp/r5_recheck.pid ] && kill -0 "$(cat /tmp/r5_recheck.pid)" 2>/dev/null; then
+# Valid = 100k rows, ZERO disagreement, and the result postdates the engine
+# (a lens_tpu.py change invalidates the audit — this is what caught the
+# bf16-matmul trace bug on 2026-08-19). A recheck already in flight counts
+# as pending, not missing, so a queue restart doesn't re-burn TPU time.
+tiebreak_ok() {
+    [ artifacts/lens_tiebreak_validation.json -nt hint_tpu/data/lens_tpu.py ] \
+        2>/dev/null || return 1
+    python -c 'import json,sys;d=json.load(open("artifacts/lens_tiebreak_validation.json"));sys.exit(0 if d["n_rows"]==100000 and d["disagree_rows"]==0 else 1)' 2>/dev/null
+}
+recheck_alive() {
+    [ -f /tmp/r5_recheck.pid ] && kill -0 "$(cat /tmp/r5_recheck.pid)" 2>/dev/null
+}
+if ! tiebreak_ok; then
+    if recheck_alive; then
         Q "tie-break f64 recheck already running (pid $(cat /tmp/r5_recheck.pid))"
     else
+        if [ ! artifacts/tiebreak_rows.npz -nt hint_tpu/data/lens_tpu.py ] 2>/dev/null; then
+            run tiebreak_gen python tools/validate_tiebreak.py 100000 16384 --gen-only
+        fi
         Q "tie-break f64 recheck running in background (CPU)"
         # setsid: detach from the queue's process group so a supervisor
         # stall-kill of the queue PGID doesn't take the recheck down too

@@ -94,6 +94,7 @@ def main():
         blob = np.load(ROWS_NPZ)
         x, feats, flag = blob["x"], blob["feats"], blob["flag"]
         t_gen, platform = float(blob["t_gen"]), str(blob["platform"])
+        t0 += t_gen  # recheck_seconds = wall time of THIS phase only
     else:
         x, feats, flag, t_gen, platform = generate()
         if MODE == "--gen-only":
