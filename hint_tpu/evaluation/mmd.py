@@ -22,9 +22,15 @@ DEFAULT_WIDTHS_EXPONENTS: Tuple[Tuple[float, float], ...] = (
 
 
 def _sq_dists(x, y):
-    xx = x @ x.T
-    yy = y @ y.T
-    xy = x @ y.T
+    # precision=HIGHEST: measurement code. At default precision the TPU MXU
+    # runs these f32 Grams as single bf16 passes (~1e-3 relative), which
+    # lands directly in the published MMD values — the same failure mode the
+    # round-5 on-chip tie-break audit caught in the lens trace. HIGHEST
+    # restores ~f32 accuracy (the reference metric runs f32 CUDA Grams).
+    P = jax.lax.Precision.HIGHEST
+    xx = jnp.matmul(x, x.T, precision=P)
+    yy = jnp.matmul(y, y.T, precision=P)
+    xy = jnp.matmul(x, y.T, precision=P)
     rx = jnp.diag(xx)[None, :]
     ry = jnp.diag(yy)[None, :]
     dxx = jnp.clip(rx.T + rx - 2.0 * xx, 0.0, jnp.inf)

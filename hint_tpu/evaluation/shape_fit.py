@@ -41,6 +41,13 @@ import numpy as np
 
 from hint_tpu.data import geometry
 
+# Measurement code: force ~f32 matmuls on TPU (default precision = single
+# bf16 MXU passes, ~1e-3 relative — fuzzes the fitted IoU/DICE/Hausdorff).
+# The reference pins this whole module to CPU over exactly this class of
+# accelerator numerics (best_shape_fit.py:10-11); full precision is the
+# TPU-native answer.
+_P = jax.lax.Precision.HIGHEST
+
 PLUS_STEPS = 400  # best_shape_fit.py:113
 LENS_STEPS = 100  # best_shape_fit.py:249
 MOMENTUM = 0.2
@@ -81,7 +88,7 @@ def plus_segments(params: jnp.ndarray) -> jnp.ndarray:
     segs = jnp.stack([corners, jnp.roll(corners, -1, axis=0)], axis=1)
     c, s = jnp.cos(angle), jnp.sin(angle)
     rot = jnp.array([[c, s], [-s, c]])
-    return segs @ rot + jnp.array([xoffset, yoffset])
+    return jnp.matmul(segs, rot, precision=_P) + jnp.array([xoffset, yoffset])
 
 
 def _sq_dist_points_to_segment(points, a, b):
@@ -91,7 +98,7 @@ def _sq_dist_points_to_segment(points, a, b):
     length = jnp.sqrt(jnp.sum(n * n))
     n = n / length
     ap = a[None, :] - points
-    t = jnp.clip(-(ap @ n), 0.0, length)
+    t = jnp.clip(-jnp.matmul(ap, n, precision=_P), 0.0, length)
     short = ap + t[:, None] * n[None, :]
     return jnp.sum(short**2, axis=1)
 
@@ -127,7 +134,7 @@ def lens_points(prototype: jnp.ndarray, params: jnp.ndarray) -> jnp.ndarray:
     x, y, scale, angle = params
     c, s = jnp.cos(angle), jnp.sin(angle)
     rot = jnp.array([[c, s], [-s, c]])
-    return (prototype @ rot) * scale + jnp.array([x, y])[None, :]
+    return jnp.matmul(prototype, rot, precision=_P) * scale + jnp.array([x, y])[None, :]
 
 
 def lens_loss(prototype, points, params, fit_weight=1.0):
