@@ -89,12 +89,10 @@ def generate():
 
 
 def main():
-    t0 = time.time()
     if MODE == "--recheck":
         blob = np.load(ROWS_NPZ)
         x, feats, flag = blob["x"], blob["feats"], blob["flag"]
         t_gen, platform = float(blob["t_gen"]), str(blob["platform"])
-        t0 += t_gen  # recheck_seconds = wall time of THIS phase only
     else:
         x, feats, flag, t_gen, platform = generate()
         if MODE == "--gen-only":
@@ -106,6 +104,7 @@ def main():
             return
 
     # f64 full recheck of every row, plus the top-two margin distribution
+    t_recheck0 = time.time()
     from hint_tpu.data.fourier import LensShapeModel
 
     model = LensShapeModel()
@@ -163,7 +162,7 @@ def main():
             None if not np.isfinite(min_margin_unflagged) else min_margin_unflagged
         ),
         "gen_seconds": t_gen,
-        "recheck_seconds": time.time() - t0 - t_gen,
+        "recheck_seconds": time.time() - t_recheck0,
     }
     os.makedirs("artifacts", exist_ok=True)
     with open("artifacts/lens_tiebreak_validation.json", "w") as f:
