@@ -164,6 +164,26 @@ def stage_data(family: str, cache_dir: str = "data") -> None:
     print(f"{family}: train/test caches ready ({cfg.n_train}/{cfg.n_test})")
 
 
+def _liveness_heartbeat(tag: str, n_epochs: int, every_s: float = 300.0):
+    """Per-epoch ``checkpoint_fn`` that prints a flushed liveness line at
+    most every ``every_s`` seconds. A long training unit is otherwise
+    silent until its final summary print, and the round-5 stall supervisor
+    (tools/r5_supervise.sh) kills the queue's process group after 35 min
+    without log output — on a slow tunnel day a healthy ~21-min unit could
+    cross that line and loop forever. Rides ``checkpoint_fn`` (called after
+    each epoch's host sync) rather than ``monitor``, which would switch
+    ``train_epoch`` off the scanned whole-epoch program."""
+    t_last = [time.time()]
+
+    def hb(_state, epoch):
+        now = time.time()
+        if now - t_last[0] >= every_s:
+            print(f"  {tag}: epoch {epoch + 1}/{n_epochs} in progress", flush=True)
+            t_last[0] = now
+
+    return hb
+
+
 def stage_train(
     family: str,
     seeds=(0, 1, 2),
@@ -225,6 +245,7 @@ def stage_train(
             state, final = trainer.fit(
                 jax.random.PRNGKey(seed), (x_tr, y_tr), (x_te, y_te),
                 full_batch_test=cfg.is_uci,
+                checkpoint_fn=_liveness_heartbeat(key, cfg.n_epochs),
             )
             minutes = (time.time() - t0) / 60
             checkpoint.save_npz(path, state, model=trainer.model)
@@ -283,6 +304,7 @@ def _retrain_ckpt(config: str, seed: int, dtype: str = "float32",
     state, final = trainer.fit(
         jax.random.PRNGKey(seed), (x_tr, y_tr), (x_te, y_te),
         full_batch_test=cfg.is_uci,
+        checkpoint_fn=_liveness_heartbeat(f"{config}|s{seed}", cfg.n_epochs),
     )
     key = f"{config}|s{seed}|{dtype}"
     logged = _read_log().get(key, {}).get("final_test_loss")
