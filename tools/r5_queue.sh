@@ -17,6 +17,27 @@ run() { # run <name> <cmd...>
     return $rc
 }
 
+# ---- 0. wait for the TPU tunnel to answer ------------------------------------
+# A client started while the tunnel is down blocks forever in device init at
+# 0% CPU; the supervisor only reaps that after 35 min of log silence. Probing
+# here turns each dead-tunnel cycle into ~3 min, and the probe lines keep
+# queue.out fresh so the supervisor never kills the probing loop itself.
+# the probe must run a real computation: device *enumeration* is answered
+# locally by the plugin and passes even when the data path is dead
+until timeout -k 10 120 python -c \
+    'import jax, jax.numpy as jnp
+d = jax.devices()
+assert d[0].platform != "cpu", d
+x = jax.jit(lambda v: (v * 2).sum())(jnp.ones(128)).block_until_ready()
+assert float(x) == 256.0, x
+print("probe ok", d)' \
+    > /dev/null 2>&1
+do
+    Q "tpu tunnel not answering (120s probe); retrying in 60s"
+    sleep 60
+done
+Q "tpu tunnel ok"
+
 # ---- 1. lens pool (resume/no-op if complete) --------------------------------
 run pool_lens python tools/pool_tpu.py lens 100000000 || exit 1
 
