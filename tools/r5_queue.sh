@@ -70,19 +70,20 @@ if ! tiebreak_ok; then
     fi
 fi
 
-# ---- 3. lens conditional retrain (checkpoints wiped by reboot) --------------
-run train_lens_cond python -m hint_tpu.experiments.campaign train --family lens \
-    --require-ckpt --configs \
-    lens_shape.conditional_cinn_1 lens_shape.conditional_cinn_2 \
-    lens_shape.conditional_cinn_4 lens_shape.conditional_cinn_8 \
-    lens_shape.conditional_hint_1_full lens_shape.conditional_hint_2_full \
-    lens_shape.conditional_hint_4_full lens_shape.conditional_hint_8_full
-
-# ---- 4. lens GT posteriors vs the 1e8 pool (fresh targets) ------------------
+# ---- 3. lens GT posteriors vs the 1e8 pool (fresh targets) ------------------
 run gt_lens python tools/precompute_gt_fresh.py lens 1000
 
-# ---- 5. the headline: lens conditional compare, 3 runs x 1000 targets -------
+# ---- 4-5. the headline: per run r, retrain seed r then compare run r --------
+# Interleaved value-first: a tunnel death after "train everything" leaves
+# zero compares; train seed 0 -> compare run 0 lands the headline number
+# ~50 min earlier and each completed r is a publishable data point.
+LENS_COND="lens_shape.conditional_cinn_1 lens_shape.conditional_cinn_2 \
+lens_shape.conditional_cinn_4 lens_shape.conditional_cinn_8 \
+lens_shape.conditional_hint_1_full lens_shape.conditional_hint_2_full \
+lens_shape.conditional_hint_4_full lens_shape.conditional_hint_8_full"
 for r in 0 1 2; do
+    run train_lens_cond_$r python -m hint_tpu.experiments.campaign train \
+        --family lens --require-ckpt --seeds "$r" --configs $LENS_COND
     run compare_lens_$r python -m hint_tpu.experiments.campaign compare \
         --family lens --kind conditional --run "$r"
 done
@@ -93,12 +94,12 @@ if [ ! -f artifacts/pool_rate_plus.json ]; then
 fi
 run pool_plus python tools/pool_tpu.py plus 100000000 || exit 1
 
-# ---- 7-9. plus conditional: retrain, GT, compare ----------------------------
-run train_plus_cond python -m hint_tpu.experiments.campaign train --family plus \
-    --require-ckpt --configs \
-    plus_shape.conditional_cinn_4 plus_shape.conditional_hint_4_full
+# ---- 7-9. plus conditional: GT, then per run r retrain + compare ------------
 run gt_plus python tools/precompute_gt_fresh.py plus 1000
+PLUS_COND="plus_shape.conditional_cinn_4 plus_shape.conditional_hint_4_full"
 for r in 0 1 2; do
+    run train_plus_cond_$r python -m hint_tpu.experiments.campaign train \
+        --family plus --require-ckpt --seeds "$r" --configs $PLUS_COND
     run compare_plus_$r python -m hint_tpu.experiments.campaign compare \
         --family plus --kind conditional --run "$r"
 done
