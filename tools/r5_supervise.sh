@@ -12,6 +12,7 @@ cd "$(dirname "$0")/.."
 STALL_S=${STALL_S:-2100}     # > the ~25 min worst-case silent train unit
 MAX_RESTARTS=${MAX_RESTARTS:-40}
 restarts=0
+echo $$ > /tmp/r5_supervise.pid   # recorded-PID kill path for round close
 while [ "$restarts" -le "$MAX_RESTARTS" ]; do
     setsid bash tools/r5_queue.sh >> artifacts/r5_queue.out 2>&1 &
     QPID=$!

@@ -34,11 +34,14 @@ for proc in /proc/[0-9]*; do
     cmd="$(tr '\0' ' ' < "$proc/cmdline" 2>/dev/null)"
     case "$exe" in
         *python*) ;;
-        # shell wrappers of OUR OWN tools (e.g. wait_tpu_then_grid.sh's
-        # probe loop respawns python children if only the child dies);
-        # still repo-cwd-scoped, still never an arbitrary pattern
+        # shell wrappers of OUR OWN tools (supervisors/queues respawn python
+        # children if only the child dies); still repo-cwd-scoped, still
+        # never an arbitrary pattern. Matches RELATIVE invocations too —
+        # round 5's `bash tools/r5_supervise.sh` carried no $REPO prefix in
+        # its cmdline, so the absolute-only pattern would have left the
+        # supervisor alive to respawn the queue into the driver's bench.
         *bash* | *dash | */sh)
-            case "$cmd" in *"$REPO/tools/"*.sh* | *tools/wait_tpu_then_grid.sh* | *tools/_run_*.sh*) ;; *) continue ;; esac ;;
+            case "$cmd" in *tools/*.sh*) ;; *) continue ;; esac ;;
         *) continue ;;
     esac
     found=1
