@@ -150,3 +150,41 @@ def test_prepare_samples_tpu_engine(tmp_path):
         LensShapeModel, n_total=600, out_dir=str(tmp_path), chunk=200, engine="tpu"
     )
     np.testing.assert_array_equal(np.asarray(x), np.asarray(x2))
+
+
+def test_seam_ulp_tie_matches_scipy_pdist():
+    """Seam-twin ulp-tie regression (round-5 audit, VERDICT r4 #5).
+
+    This row, caught by the 100k on-chip audit, has d²(38,99) exceeding its
+    seam twin d²(0,38) by only 1.8e-15 (~2 ulp). The reference argmaxes
+    squareform(pdist(points)) — sqrt'd distances, data.py:133 — under which
+    the twins round EQUAL and row-major first-max picks (0,38). A d²-based
+    argmax picks (38,99) and flips the sign of y. Pins that _seam_host (and
+    therefore the pool engine) resolves the tie exactly as scipy does.
+    """
+    from scipy.spatial.distance import pdist, squareform
+
+    x = np.array([[
+        0.09095285087823868, 0.4457179307937622, -0.22821182012557983,
+        0.4457179307937622, 0.09095285087823868, 0.05451823025941849,
+        0.5210657715797424, 0.6912301182746887, 0.5210657715797424,
+        0.05451823025941849, 0.10121825337409973, -0.37077128887176514,
+        0.0, 0.37077128887176514, -0.10121825337409973, 0.08546189963817596,
+        0.03648364916443825, 0.0, -0.03648364916443825, -0.08546189963817596,
+    ]], dtype=np.float32)
+
+    model = LensShapeModel()
+    pts = model.trace_fourier_curves(model.unflatten_coeffs(x))[0]
+    d = squareform(pdist(pts.astype(np.float64)))
+    mi = np.unravel_index(d.argmax(), d.shape)
+    assert mi == (0, 38), f"fixture no longer hits the seam tie: {mi}"
+    p0, p1 = pts[mi[0]].astype(np.float64), pts[mi[1]].astype(np.float64)
+    ref = np.array([(p1 - p0)[1], (p1 - p0)[0]])
+
+    # the d² twins really are within a few ulp — the tie the test is about
+    d2_twin = ((pts[38].astype(np.float64) - pts[0].astype(np.float64)) ** 2).sum()
+    d2_seam = ((pts[99].astype(np.float64) - pts[38].astype(np.float64)) ** 2).sum()
+    assert 0 < abs(d2_seam - d2_twin) < 1e-13
+
+    got = lens_tpu._seam_host(x, np.array([38]))[0]
+    np.testing.assert_array_equal(got, ref)

@@ -123,8 +123,16 @@ def main():
         rows = np.arange(len(q))
         # first-max = the reference's row-major argmax over the full
         # (symmetric) matrix — NOT argsort[-1], which is last-of-ties and
-        # would land on the mirrored (i1, i0) entry
-        flat_idx = flat.argmax(axis=1)
+        # would land on the mirrored (i1, i0) entry. The argmax MUST run on
+        # sqrt'd distances, not d²: the reference argmaxes
+        # squareform(pdist(...)) (/root/reference/data.py:133), and at the
+        # seam the twin pairs (0,i)/(i,99) differ by 1-2 ulp in d² — sqrt
+        # rounds them EQUAL, so first-max lands on row 0's (0,i), while a
+        # d² argmax lands on (i,99). Both production host paths sqrt for
+        # exactly this reason; an earlier d²-based recheck here reported
+        # 4/100000 false "disagreements" that scipy pdist itself resolves
+        # the engine's way (bit-exact, error 0.0e+00 on all four).
+        flat_idx = np.sqrt(flat).argmax(axis=1)
         top = flat[rows, flat_idx]
         i0, i1 = np.unravel_index(flat_idx, (lens_tpu.N_TRACE, lens_tpu.N_TRACE))
         # second-best DISTINCT pair: mask both mirror entries of the winner
