@@ -88,13 +88,33 @@ for r in 0 1 2; do
         --family lens --kind conditional --run "$r"
 done
 
-# ---- 6. plus pool: honest rate first, then the build ------------------------
+# ---- 6. cheap, high-value stages land before the multi-hour plus build ------
+# (resequenced mid-round: at the measured compare rate the plus family ends
+# ~05:00 and grid seed-2 cannot fit; the perf remeasure fixes a committed
+# artifact the round-4 verdict called not-credible, so it must not queue
+# behind 3h of pool building. All stages stay idempotent.)
+
+# ---- 6a. probe the two uninvestigated seed-2 divergences ---------------------
+[ -f artifacts/diverge_unconditional_hint_16_1_s2.json ] || \
+    run probe_hint16 python tools/diverge_probe.py plus_shape.unconditional_hint_16_1 2
+[ -f artifacts/diverge_unconditional_inn_32_s2.json ] || \
+    run probe_inn32 python tools/diverge_probe.py plus_shape.unconditional_inn_32 2
+
+# ---- 6b. perf families (UCI rows + bf16 conditional + fixed roofline) --------
+run perf python tools/perf_families.py
+run perf_table python tools/perf_table_md.py --write
+
+# ---- 6c. archive what exists so far + refresh the published report -----------
+run archive python tools/archive_comparisons.py r5
+run report python -m hint_tpu.experiments.campaign report
+
+# ---- 7. plus pool: honest rate first, then the build ------------------------
 if [ ! -f artifacts/pool_rate_plus.json ]; then
     run rate_plus python tools/time_pool_engine.py plus 2097152
 fi
 run pool_plus python tools/pool_tpu.py plus 100000000 || exit 1
 
-# ---- 7-9. plus conditional: GT, then per run r retrain + compare ------------
+# ---- 8-9. plus conditional: GT, then per run r retrain + compare ------------
 run gt_plus python tools/precompute_gt_fresh.py plus 1000
 PLUS_COND="plus_shape.conditional_cinn_4 plus_shape.conditional_hint_4_full"
 for r in 0 1 2; do
@@ -104,20 +124,11 @@ for r in 0 1 2; do
         --family plus --kind conditional --run "$r"
 done
 
-# ---- 10. ablation grid seed 2 (27 remaining configs) -------------------------
+# ---- 10. re-archive + re-report with the plus results ------------------------
+run archive2 python tools/archive_comparisons.py r5
+run report2 python -m hint_tpu.experiments.campaign report
+
+# ---- 11. ablation grid seed 2 (27 remaining configs; lowest-priority tail) ---
 run grid_s2 python -m hint_tpu.experiments.campaign grid --seeds 2
-
-# ---- 10b. probe the two uninvestigated seed-2 divergences --------------------
-[ -f artifacts/diverge_unconditional_hint_16_1_s2.json ] || \
-    run probe_hint16 python tools/diverge_probe.py plus_shape.unconditional_hint_16_1 2
-[ -f artifacts/diverge_unconditional_inn_32_s2.json ] || \
-    run probe_inn32 python tools/diverge_probe.py plus_shape.unconditional_inn_32 2
-
-# ---- 11. perf families (UCI rows + bf16 conditional + fixed roofline) --------
-run perf python tools/perf_families.py
-run perf_table python tools/perf_table_md.py --write
-
-# ---- 12. archive fresh comparisons, then refresh the published report --------
-run archive python tools/archive_comparisons.py r5
-run report python -m hint_tpu.experiments.campaign report
+run report3 python -m hint_tpu.experiments.campaign report
 Q "queue complete"
