@@ -30,6 +30,7 @@ import argparse
 import dataclasses
 import json
 import os
+import re
 import time
 from typing import Dict, Optional
 
@@ -825,24 +826,41 @@ def stage_report(abc_dir: str = "abc") -> str:
             provenance = json.load(f)
     for (family, kind), configs in MODEL_SETS.items():
         name = DATA_MODEL_NAME[family]
-        rows = {}
-        sources = set()
+        # Collect per-run (path, source label, GT-pool basis). MMDs scored
+        # against different pool sizes are NOT comparable (the quantile-ABC
+        # threshold scales as (N1/N2)^(1/d_y) — rejection_sampling.py:76), so
+        # runs are grouped by basis and only the sharpest consistent group is
+        # published, instead of blending e.g. a fresh 1e8-GT run 0 with
+        # archived 1e7-era runs 1-2 into one mean ± std.
+        entries = []  # (run, path, source, basis_n_pool or -1 for unknown)
         for run in range(3):
             fname = f"{name}_{kind}_comparison_{run}.pkl"
             p = os.path.join(abc_dir, fname)
             if os.path.exists(p):
                 fx = os.path.join(abc_dir, f"{name}_x_huge.npy")
-                n_pool = (np.load(fx, mmap_mode="r").shape[0]
-                          if os.path.exists(fx) else None)
-                sources.add(f"fresh sweep vs the live {n_pool:,}-row pool"
-                            if n_pool else "fresh sweep (abc/)")
+                n_pool = (int(np.load(fx, mmap_mode="r").shape[0])
+                          if os.path.exists(fx) else -1)
+                src = (f"fresh sweep vs the live {n_pool:,}-row pool"
+                       if n_pool > 0 else "fresh sweep (abc/)")
             else:
                 p = os.path.join(archive_dir, fname)
                 if not os.path.exists(p):
                     continue
-                sources.add(provenance.get(
+                src = provenance.get(
                     fname, "archived record (pool size unrecorded; "
-                           "r3/r4 sweeps used N=1e7)"))
+                           "r3/r4 sweeps used N=1e7)")
+                m = re.search(r"([\d,]{4,})-row", src)
+                n_pool = int(m.group(1).replace(",", "")) if m else -1
+            entries.append((run, p, src, n_pool))
+        if not entries:
+            continue
+        best = max(e[3] for e in entries)
+        kept = [e for e in entries if e[3] == best]
+        dropped = [e for e in entries if e[3] != best]
+        rows = {}
+        sources = set()
+        for run, p, src, _ in kept:
+            sources.add(src)
             with open(p, "rb") as f:
                 d = pickle.load(f)
             for cfg_name, rec in d.items():
@@ -854,7 +872,8 @@ def stage_report(abc_dir: str = "abc") -> str:
         if not rows:
             continue
         lines += [f"## {family} {kind} posterior/prior MMD "
-                  f"(mean ± std over training runs)", "",
+                  f"(mean ± std over {len(kept)} training run"
+                  f"{'s' if len(kept) != 1 else ''})", "",
                   "| model | MMD | reject rate | y-distance |", "|---|---|---|---|"]
         for cfg_name, r in sorted(rows.items()):
             d = (
@@ -868,6 +887,11 @@ def stage_report(abc_dir: str = "abc") -> str:
             )
         for src in sorted(sources):
             lines.append(f"\nGT/prior pool: {src}.")
+        for run, _, src, _ in dropped:
+            lines.append(
+                f"\nRun {run} excluded: scored against a different GT basis "
+                f"({src}) — not comparable with the table above."
+            )
         lines.append("")
 
     # shape scores

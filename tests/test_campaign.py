@@ -142,6 +142,51 @@ def test_report_runs_on_empty(tmp_path, monkeypatch):
     assert "campaign report" in report
 
 
+def test_report_does_not_mix_gt_bases(tmp_path, monkeypatch):
+    """MMDs scored against different-size GT pools are incomparable (the
+    quantile threshold scales as (N1/N2)^(1/d_y)); the report must publish
+    only the sharpest consistent run group, not blend a fresh 1e8-GT run
+    with archived 1e7-era runs into one mean ± std."""
+    import pickle
+
+    monkeypatch.setattr(campaign, "CAMPAIGN_DIR", str(tmp_path))
+    abc_dir = tmp_path / "abc"
+    abc_dir.mkdir()
+    arch = tmp_path / "comparisons"
+    arch.mkdir()
+
+    # fresh run 0 in abc/ next to its (tiny stand-in) pool
+    np.save(abc_dir / "lens-shape1_x_huge.npy", np.zeros((128, 20), np.float32))
+    rec0 = {"lens_shape.conditional_cinn_4":
+            {"mmds": [0.010], "rejects": [0.0], "dists": [0.10]}}
+    with open(abc_dir / "lens-shape1_conditional_comparison_0.pkl", "wb") as f:
+        pickle.dump(rec0, f)
+
+    # archived runs 1-2 from an older, unrecorded (1e7-era) basis
+    for run, mmd in ((1, 0.5), (2, 0.9)):
+        rec = {"lens_shape.conditional_cinn_4":
+               {"mmds": [mmd], "rejects": [0.0], "dists": [0.2]}}
+        with open(arch / f"lens-shape1_conditional_comparison_{run}.pkl",
+                  "wb") as f:
+            pickle.dump(rec, f)
+
+    report = campaign.stage_report(abc_dir=str(abc_dir))
+    # only the fresh run is published; its MMD appears un-averaged
+    assert "mean ± std over 1 training run)" in report
+    assert "0.0100" in report
+    assert "0.5" not in report.split("## lens conditional")[1].split("##")[0] \
+        .split("excluded")[0]
+    # the excluded runs are called out, not silently dropped
+    assert "Run 1 excluded" in report and "Run 2 excluded" in report
+    # a consistent archived-only group (no fresh pickle) still reports all
+    # runs together: same-basis runs must keep accumulating
+    os.remove(abc_dir / "lens-shape1_conditional_comparison_0.pkl")
+    with open(arch / "lens-shape1_conditional_comparison_0.pkl", "wb") as f:
+        pickle.dump(rec0, f)
+    report2 = campaign.stage_report(abc_dir=str(abc_dir))
+    assert "mean ± std over 3 training runs)" in report2
+
+
 def test_ablation_grid_resolves():
     """Every grid entry is a registered plus-shape config; the grid plus
     MODEL_SETS covers the reference's full train list, including the
