@@ -854,9 +854,15 @@ def stage_report(abc_dir: str = "abc") -> str:
             entries.append((run, p, src, n_pool))
         if not entries:
             continue
-        best = max(e[3] for e in entries)
-        kept = [e for e in entries if e[3] == best]
-        dropped = [e for e in entries if e[3] != best]
+        # Basis grouping applies to conditional sweeps only: unconditional
+        # MMD is scored against a held-out prior sample, not the ABC pool,
+        # so all runs share one basis regardless of pool size.
+        if kind == "conditional":
+            best = max(e[3] for e in entries)
+            kept = [e for e in entries if e[3] == best]
+            dropped = [e for e in entries if e[3] != best]
+        else:
+            kept, dropped = entries, []
         rows = {}
         sources = set()
         for run, p, src, _ in kept:
